@@ -1,0 +1,126 @@
+"""PyTorch checkpoint → JAX parameter conversion for the ResNet family.
+
+The reference initializes its ResNets from torchvision ImageNet checkpoints
+(``1_HistoPathology/resnet.py:10-16,366-376``) and performs conv1 "weight
+surgery" for the 1-channel / 4-channel input variants
+(``resnet.py:378-428``). This module provides the equivalent one-shot
+converter: a torch ``state_dict`` (loaded from a ``.pt``/``.pth`` file, e.g. a
+downloaded torchvision checkpoint or a reference-trained model) is re-keyed
+into our flax variable tree.
+
+Key mapping (torch → flax):
+  ``conv1.weight``                  → ``params/conv1/kernel``   (OIHW → HWIO)
+  ``bn1.{weight,bias}``             → ``params/bn1/{scale,bias}``
+  ``bn1.running_{mean,var}``        → ``batch_stats/bn1/{mean,var}``
+  ``layer{i}.{j}.conv{k}.weight``   → ``params/layer{i}_{j}/conv{k}/kernel``
+  ``layer{i}.{j}.downsample.0/1.*`` → ``params/layer{i}_{j}/downsample_{conv,bn}/*``
+  ``fc.{weight,bias}``              → ``params/fc/{kernel,bias}`` (transposed)
+
+No torch import is required at module load; ``load_torch_state_dict`` imports
+torch lazily (CPU build is available in this environment).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint file into a flat {name: numpy array} dict."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, Mapping) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in state.items()}
+
+
+def _convert_conv(w: np.ndarray) -> np.ndarray:
+    # torch OIHW → flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def adapt_conv1_channels(kernel_hwio: np.ndarray, in_channels: int) -> np.ndarray:
+    """Reference-style conv1 surgery for non-RGB inputs (resnet.py:378-428).
+
+    - 1 channel: sum the RGB kernels (preserves response to grayscale input).
+    - 4 channels: keep RGB and append the channel-mean as the 4th.
+    - 3 channels: unchanged.
+    """
+    h, w, c, o = kernel_hwio.shape
+    if in_channels == c:
+        return kernel_hwio
+    if in_channels == 1:
+        return kernel_hwio.sum(axis=2, keepdims=True)
+    if in_channels == 4:
+        extra = kernel_hwio.mean(axis=2, keepdims=True)
+        return np.concatenate([kernel_hwio, extra], axis=2)
+    raise ValueError(f"Cannot adapt conv1 from {c} to {in_channels} channels")
+
+
+def torch_resnet_to_flax(
+    state: Mapping[str, np.ndarray],
+    *,
+    in_channels: int = 3,
+    prefix: str = "",
+) -> dict[str, Any]:
+    """Re-key a torch ResNet state_dict into flax ``{'params', 'batch_stats'}``.
+
+    ``prefix`` strips a leading qualifier (e.g. ``"resnet."`` when converting
+    a whole reference ``AggregationModel`` checkpoint).
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    block_re = re.compile(r"^layer(\d+)\.(\d+)\.(.+)$")
+    for key, value in state.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        if key.endswith("num_batches_tracked"):
+            continue
+
+        m = block_re.match(key)
+        if m:
+            stage, block, rest = m.group(1), m.group(2), m.group(3)
+            scope = f"layer{stage}_{block}"
+            rest = rest.replace("downsample.0", "downsample_conv").replace(
+                "downsample.1", "downsample_bn"
+            )
+            parts = rest.split(".")
+            sub, leaf = ".".join(parts[:-1]), parts[-1]
+            dest_scope = [scope, sub]
+        else:
+            parts = key.split(".")
+            sub, leaf = ".".join(parts[:-1]), parts[-1]
+            dest_scope = [sub]
+
+        is_bn = "bn" in dest_scope[-1] or "downsample_bn" in dest_scope[-1]
+        if leaf == "weight":
+            if is_bn:
+                put(params, dest_scope + ["scale"], value)
+            elif value.ndim == 4:
+                kernel = _convert_conv(value)
+                if dest_scope == ["conv1"]:
+                    kernel = adapt_conv1_channels(kernel, in_channels)
+                put(params, dest_scope + ["kernel"], kernel)
+            else:  # linear
+                put(params, dest_scope + ["kernel"], value.T)
+        elif leaf == "bias":
+            put(params, dest_scope + ["bias"], value)
+        elif leaf == "running_mean":
+            put(stats, dest_scope + ["mean"], value)
+        elif leaf == "running_var":
+            put(stats, dest_scope + ["var"], value)
+
+    return {"params": params, "batch_stats": stats}

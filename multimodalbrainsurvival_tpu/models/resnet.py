@@ -1,0 +1,256 @@
+"""ResNet family, TPU-native (Flax linen, NHWC, bf16-friendly).
+
+Capability parity with the reference's local ResNet fork
+(``1_HistoPathology/resnet.py``, byte-duplicated at ``5_JointFusion/resnet.py``):
+
+- depths 18/34/50/101/152 (constructors at ``resnet.py:340-453``),
+- an ``extract``/``forward_extract`` path returning the pre-FC pooled
+  embedding (``resnet.py:151-165``),
+- 1-channel (``RNone``) and 4-channel (``RNfour``) input variants — here a
+  single ``in_channels`` field; pretrained conv1 weight surgery lives in
+  ``models/convert.py`` (reference does it at ``resnet.py:378-428``),
+- ``ResNetProject``: a tanh projection head on the pooled embedding
+  (``resnet.py:317-337``).
+
+TPU-first design choices (deliberately NOT a torch translation):
+
+- **NHWC layout** — XLA's native conv layout on TPU; channels-last keeps the
+  128-lane dimension dense for the MXU.
+- **compute dtype** is a field (use ``jnp.bfloat16`` on TPU); params/batch
+  stats stay float32. BatchNorm runs in float32 for stable statistics.
+- module names mirror the torch state_dict tree (``conv1``, ``bn1``,
+  ``layer{i}_{j}`` with ``conv{k}``/``bn{k}``/``downsample_{conv,bn}``,
+  ``fc``) so checkpoint conversion is a mechanical re-keying.
+- BatchNorm semantics match torch defaults (momentum 0.1 ⇒ flax momentum 0.9,
+  eps 1e-5). NOTE the reference trains with ALL BN layers in train mode even
+  when their conv params are frozen (``2_HistoPath_train.py:547-551`` freezes
+  params without ``eval()``), so frozen stages keep updating running stats —
+  our train step replicates this by making the whole ``batch_stats``
+  collection mutable during training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (ResNet-18/34). Expansion 1."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )
+        residual = x
+        y = nn.Conv(
+            self.filters,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = norm(name="bn2")(y)
+        if residual.shape[-1] != self.filters * self.expansion or self.strides != 1:
+            residual = nn.Conv(
+                self.filters * self.expansion,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual.astype(y.dtype))
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3 → 1x1 residual block (ResNet-50/101/152). Expansion 4."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )
+        residual = x
+        y = nn.Conv(
+            self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters * self.expansion,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv3",
+        )(y)
+        y = norm(name="bn3")(y)
+        if residual.shape[-1] != self.filters * self.expansion or self.strides != 1:
+            residual = nn.Conv(
+                self.filters * self.expansion,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual.astype(y.dtype))
+
+
+class ResNet(nn.Module):
+    """NHWC ResNet with a classification head and an ``extract`` embedding path.
+
+    ``feature_dim`` = ``num_filters * 8 * expansion`` (2048 for ResNet-50).
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: Callable
+    num_classes: int = 1000
+    in_channels: int = 3
+    num_filters: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def feature_dim(self) -> int:
+        return self.num_filters * 8 * self.block_cls.expansion
+
+    def setup(self):
+        self.conv1 = nn.Conv(
+            self.num_filters,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )
+        self.bn1 = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1"
+        )
+        for i, n_blocks in enumerate(self.stage_sizes):
+            blocks = []
+            for j in range(n_blocks):
+                strides = 2 if (i > 0 and j == 0) else 1
+                blocks.append(
+                    self.block_cls(
+                        filters=self.num_filters * (2**i),
+                        strides=strides,
+                        dtype=self.dtype,
+                    )
+                )
+            setattr(self, f"layer{i + 1}", blocks)
+        self.fc = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")
+
+    def extract(self, x, train: bool = False):
+        """(B, H, W, C) → (B, feature_dim) pre-FC pooled embedding.
+
+        Parity with ``forward_extract`` (reference ``resnet.py:151-165``).
+        """
+        x = x.astype(self.dtype)
+        y = self.conv1(x)
+        y = self.bn1(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.max_pool(
+            y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        for i in range(len(self.stage_sizes)):
+            for block in getattr(self, f"layer{i + 1}"):
+                y = block(y, train=train)
+        y = jnp.mean(y, axis=(1, 2))  # global average pool
+        return y.astype(jnp.float32)
+
+    def __call__(self, x, train: bool = False):
+        return self.fc(self.extract(x, train=train))
+
+
+class ResNetProject(nn.Module):
+    """ResNet embedding → Dense(hdim) → tanh projection.
+
+    Parity with the reference's ``ResNetProject`` head (``resnet.py:317-337``).
+    """
+
+    resnet: ResNet
+    hdim: int = 200
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.resnet.extract(x, train=train)
+        return jnp.tanh(nn.Dense(self.hdim, name="project")(feats))
+
+
+def resnet18(**kw) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, **kw)
+
+
+def resnet50(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, **kw)
+
+
+def resnet101(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck, **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck, **kw)
+
+
+RESNET_CONSTRUCTORS = {
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnet152": resnet152,
+}

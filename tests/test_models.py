@@ -1,0 +1,199 @@
+"""Model-layer tests: shapes, masking invariance, torch-parity via converter."""
+
+import sys
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodalbrainsurvival_tpu.models import (
+    AggregationModel,
+    AggregationProjectModel,
+    BagHistopathologyRNAModel,
+    EarlyFusionMLP,
+    RNAEncoder,
+    RNAOnlyModel,
+    TanhAttention,
+    make_aggregator,
+    resnet18,
+    resnet50,
+)
+
+RNG = jax.random.PRNGKey(0)
+REFERENCE_DIR = "/root/reference/1_HistoPathology"
+
+
+def test_resnet_feature_dims():
+    assert resnet18().feature_dim == 512
+    assert resnet50().feature_dim == 2048
+
+
+def test_mil_padded_bag_equals_unpadded():
+    """A bag padded with garbage patches + mask must equal the unpadded bag."""
+    rn = resnet18()
+    model = AggregationModel(
+        resnet=rn, aggregator=make_aggregator("attention", dim=512), aggregator_dim=512
+    )
+    x = jax.random.normal(RNG, (2, 2, 32, 32, 3))
+    variables = model.init(RNG, x, train=False)
+
+    out_full, _ = model.apply(variables, x, train=False)
+
+    pad = jnp.full((2, 2, 32, 32, 3), 99.0)
+    x_padded = jnp.concatenate([x, pad], axis=1)
+    mask = jnp.array([[True, True, False, False]] * 2)
+    out_padded, attn = model.apply(variables, x_padded, mask=mask, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_padded), rtol=2e-4, atol=1e-5
+    )
+    # attention on padded slots must be exactly zero
+    assert np.all(np.asarray(attn)[:, 2:] == 0)
+
+
+def test_tanh_attention_matches_torch_formula():
+    """TanhAttention == softmax(tanh(xW)·v) weighted sum semantics
+    (1_HistoPathology/models.py:22-33 composed with the bag mean)."""
+    import torch
+
+    dim, B, bag = 16, 3, 5
+    x = np.random.default_rng(0).normal(size=(B, bag, dim)).astype(np.float32)
+    agg = TanhAttention(dim=dim)
+    variables = agg.init(RNG, jnp.array(x))
+    # plant non-zero weights
+    W = np.random.default_rng(1).normal(size=(dim, dim)).astype(np.float32) * 0.1
+    v = np.random.default_rng(2).normal(size=(dim,)).astype(np.float32)
+    variables = {"params": {"vector": jnp.array(v), "linear": {"kernel": jnp.array(W)}}}
+
+    out, weights = agg.apply(variables, jnp.array(x))
+    ours_bagmean = np.asarray(out).mean(axis=1)  # what the MIL model computes
+
+    xt = torch.tensor(x)
+    logits = torch.tanh(xt @ torch.tensor(W)) @ torch.tensor(v)[:, None]
+    wt = torch.softmax(logits, dim=1)
+    want = (xt * wt * bag).mean(dim=1)  # reference scales by bag size
+    np.testing.assert_allclose(ours_bagmean, want.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(weights), wt.squeeze(-1).numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
+def test_resnet50_extract_parity_with_reference_torch():
+    """Convert a randomly-initialized reference torch ResNet-50 state_dict and
+    check forward_extract activations match ours (eval mode, running stats)."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import resnet as ref_resnet  # the reference's torch fork (read-only oracle)
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    torch.manual_seed(0)
+    tmodel = ref_resnet.resnet50(pretrained=False)
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    from multimodalbrainsurvival_tpu.models.convert import torch_resnet_to_flax
+
+    variables = jax.tree.map(jnp.asarray, torch_resnet_to_flax(state))
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        # reference forward_extract pools with a fixed 7x7 avgpool at 224 input;
+        # for small inputs compare the pre-pool conv trunk via adaptive pooling
+        t = torch.tensor(x)
+        y = tmodel.conv1(t)
+        y = tmodel.bn1(y)
+        y = tmodel.relu(y)
+        y = tmodel.maxpool(y)
+        y = tmodel.layer1(y)
+        y = tmodel.layer2(y)
+        y = tmodel.layer3(y)
+        y = tmodel.layer4(y)
+        want = y.mean(dim=(2, 3)).numpy()
+
+    model = resnet50()
+    got = model.apply(
+        variables, jnp.array(np.transpose(x, (0, 2, 3, 1))), train=False,
+        method="extract",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_conv1_channel_surgery():
+    from multimodalbrainsurvival_tpu.models.convert import adapt_conv1_channels
+
+    k = np.random.default_rng(0).normal(size=(7, 7, 3, 64)).astype(np.float32)
+    k1 = adapt_conv1_channels(k, 1)
+    assert k1.shape == (7, 7, 1, 64)
+    np.testing.assert_allclose(k1[..., 0, :], k.sum(axis=2), rtol=1e-6)
+    k4 = adapt_conv1_channels(k, 4)
+    assert k4.shape == (7, 7, 4, 64)
+    np.testing.assert_allclose(k4[..., 3, :], k.mean(axis=2), rtol=1e-6)
+
+
+def test_rna_model_shapes_and_extract():
+    model = RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(64, 32)))
+    x = jnp.ones((4, 100))
+    variables = model.init(RNG, x)
+    assert model.apply(variables, x).shape == (4, 1)
+    assert model.apply(variables, x, method="extract").shape == (4, 32)
+    # dropout active in train mode
+    a = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_early_fusion_structure():
+    model = EarlyFusionMLP()
+    x = jnp.ones((2, 4096))
+    variables = model.init(RNG, x)
+    assert model.apply(variables, x).shape == (2, 1)
+    kernels = variables["params"]
+    assert kernels["dense_0"]["kernel"].shape == (4096, 2048)
+    assert kernels["dense_1"]["kernel"].shape == (2048, 200)
+    assert kernels["head"]["kernel"].shape == (200, 1)
+
+
+def test_joint_model_bimodal_gradients():
+    """Gradients must reach both encoders (end-to-end joint training)."""
+    rn = resnet18()
+    model = BagHistopathologyRNAModel(
+        resnet=rn, rna_encoder=RNAEncoder(hidden_dims=(32, 512))
+    )
+    x = jax.random.normal(RNG, (2, 2, 32, 32, 3))
+    rna = jax.random.normal(RNG, (2, 50))
+    variables = model.init(RNG, x, rna)
+
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, rna)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss)(variables["params"])
+    g_resnet = jax.tree_util.tree_leaves(grads["resnet"])
+    g_rna = jax.tree_util.tree_leaves(grads["rna_encoder"])
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in g_resnet)
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in g_rna)
+
+
+def test_project_model():
+    rn = resnet18()
+    model = AggregationProjectModel(
+        resnet=rn,
+        aggregator=make_aggregator("identity"),
+        aggregator_dim=512,
+        hdim=16,
+    )
+    x = jax.random.normal(RNG, (2, 2, 32, 32, 3))
+    variables = model.init(RNG, x)
+    out, _ = model.apply(variables, x)
+    assert out.shape == (2, 1)
+    feats, _ = model.apply(variables, x, method="extract")
+    assert feats.shape == (2, 16)
+    assert np.all(np.abs(np.asarray(feats)) <= 1.0)  # tanh-bounded

@@ -1,0 +1,225 @@
+"""Patch-bag datasets + a threaded host input pipeline.
+
+Reference surface (``1_HistoPathology/models.py:234-295`` ``PatchBagDataset``;
+``5_JointFusion/datasets.py:62-126`` ``PatchBagRNADataset``):
+
+- a CSV row per case with ``wsi_file_name``; the per-slide patch directory
+  ``<data_path>/<WSI>/`` holds ``<WSI>_patch_<i>.png`` and ``loc.txt`` whose
+  line count minus 2 header lines is the patch count (``models.py:258``);
+- patch count capped at ``max_patches_total``; patches are chunked into bags
+  of ``bag_size``; the remainder is dropped (``models.py:266-267``);
+- ``shuffle()`` re-permutes each slide's patch list between epochs
+  (``models.py:269-272``).
+
+TPU-first: the host pipeline only *decodes* (cv2, C++ turbo path) into pinned
+uint8 batches on a thread pool with double-buffered prefetch; all float
+conversion, augmentation and normalization run batched on device
+(``ops/image.py``). Batches are statically shaped — the trailing partial batch
+is padded and masked (``sample_mask``) instead of torch's ragged final batch,
+and an optional non-parity mode keeps the bag remainder with a ``bag_mask``.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+import cv2
+
+
+def _read_patch(path: str, img_size: int) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.shape[0] != img_size or img.shape[1] != img_size:
+        img = cv2.resize(img, (img_size, img_size), interpolation=cv2.INTER_LINEAR)
+    return img[:, :, ::-1]  # RGB
+
+
+class PatchBagDataset:
+    """Index of (WSI, bag-offset) chunks over per-slide patch directories."""
+
+    def __init__(
+        self,
+        patch_data_path: str,
+        csv_path: str,
+        img_size: int = 224,
+        bag_size: int = 40,
+        max_patches_total: int = 1000,
+        *,
+        keep_remainder: bool = False,
+        seed: int = 0,
+    ):
+        self.patch_data_path = patch_data_path
+        self.img_size = img_size
+        self.bag_size = bag_size
+        self.max_patches_total = max_patches_total
+        self.keep_remainder = keep_remainder
+        self._rng = np.random.default_rng(seed)
+
+        self.data: dict[str, dict] = {}
+        self.index: list[tuple[str, int]] = []
+
+        df = pd.read_csv(csv_path)
+        df.columns = [c.lstrip("﻿") for c in df.columns]
+        for _, row in df.iterrows():
+            row = row.to_dict()
+            wsi = str(row["wsi_file_name"]).split(".")[0]
+            loc = os.path.join(patch_data_path, wsi, "loc.txt")
+            with open(loc) as f:
+                n_patches = sum(1 for _ in f) - 2
+            n_patches = min(n_patches, max_patches_total)
+            images = [
+                os.path.join(patch_data_path, wsi, f"{wsi}_patch_{i}.png")
+                for i in range(n_patches)
+            ]
+            entry = {k.lower(): v for k, v in row.items()}
+            entry.update({"WSI": wsi, "images": images, "n_images": len(images)})
+            self.data[wsi] = entry
+            n_bags = len(images) // bag_size
+            for k in range(n_bags):
+                self.index.append((wsi, bag_size * k))
+            if keep_remainder and len(images) % bag_size:
+                self.index.append((wsi, bag_size * n_bags))
+
+    def shuffle(self):
+        """Per-epoch re-permutation of each slide's patch list
+        (reference ``models.py:269-272``)."""
+        for entry in self.data.values():
+            self._rng.shuffle(entry["images"])
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _load_bag(self, item_idx: int) -> dict:
+        wsi, off = self.index[item_idx]
+        entry = self.data[wsi]
+        paths = entry["images"][off : off + self.bag_size]
+        bag = np.zeros(
+            (self.bag_size, self.img_size, self.img_size, 3), np.uint8
+        )
+        for j, p in enumerate(paths):
+            bag[j] = _read_patch(p, self.img_size)
+        bag_mask = np.zeros((self.bag_size,), bool)
+        bag_mask[: len(paths)] = True
+        return {"patch_bag": bag, "bag_mask": bag_mask, **self._labels(entry)}
+
+    @staticmethod
+    def _labels(entry: dict) -> dict:
+        out = {"WSI": entry["WSI"], "case": str(entry.get("case", entry["WSI"]))}
+        for k in ("survival_months", "vital_status"):
+            if k in entry:
+                out[k] = np.float32(entry[k])
+        for k in ("survival_bin", "label", "grade_binary"):
+            if k in entry:
+                out[k] = np.int32(entry[k])
+        return out
+
+    def _assemble(self, items: list[dict], batch_size: int) -> dict:
+        b = len(items)
+        batch: dict = {
+            "patch_bag": np.zeros(
+                (batch_size, self.bag_size, self.img_size, self.img_size, 3),
+                np.uint8,
+            ),
+            "bag_mask": np.zeros((batch_size, self.bag_size), bool),
+            "sample_mask": np.zeros((batch_size,), bool),
+            "WSI": [""] * batch_size,
+            "case": [""] * batch_size,
+        }
+        scalar_keys = [
+            k
+            for k in items[0]
+            if k not in ("patch_bag", "bag_mask", "WSI", "case")
+        ]
+        for k in scalar_keys:
+            batch[k] = np.zeros((batch_size,), np.asarray(items[0][k]).dtype)
+        for i, it in enumerate(items):
+            batch["patch_bag"][i] = it["patch_bag"]
+            batch["bag_mask"][i] = it["bag_mask"]
+            batch["sample_mask"][i] = True
+            batch["WSI"][i] = it["WSI"]
+            batch["case"][i] = it["case"]
+            for k in scalar_keys:
+                batch[k][i] = it[k]
+        return batch
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int | None = None,
+        num_threads: int = 8,
+        prefetch: int = 2,
+    ) -> Iterator[dict]:
+        """Threaded decode + double-buffered prefetch of uint8 bag batches."""
+        order = np.arange(len(self.index))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+
+        def batch_indices():
+            for start in range(0, len(order), batch_size):
+                yield order[start : start + batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def producer():
+            # exceptions are forwarded to the consumer instead of hanging it
+            try:
+                with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                    for idx in batch_indices():
+                        items = list(pool.map(self._load_bag, idx))
+                        q.put(self._assemble(items, batch_size))
+                q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
+class PatchBagRNADataset(PatchBagDataset):
+    """Bag index + per-case RNA vector (``5_JointFusion/datasets.py:62-126``)."""
+
+    def __init__(self, patch_data_path: str, csv_path: str, **kw):
+        super().__init__(patch_data_path, csv_path, **kw)
+        df = pd.read_csv(csv_path)
+        df.columns = [c.lstrip("﻿") for c in df.columns]
+        rna_cols = [c for c in df.columns if "rna_" in c]
+        if not rna_cols:
+            raise ValueError(f"No 'rna_' columns in {csv_path}")
+        rna = df[rna_cols].to_numpy(np.float32)
+        for i, (_, row) in enumerate(df.iterrows()):
+            wsi = str(row["wsi_file_name"]).split(".")[0]
+            self.data[wsi]["rna_data"] = rna[i]
+        self.rna_dim = rna.shape[1]
+
+    def _load_bag(self, item_idx: int) -> dict:
+        out = super()._load_bag(item_idx)
+        wsi, _ = self.index[item_idx]
+        out["rna_data"] = self.data[wsi]["rna_data"]
+        return out
+
+    def _assemble(self, items: list[dict], batch_size: int) -> dict:
+        rna = np.zeros((batch_size, self.rna_dim), np.float32)
+        for i, it in enumerate(items):
+            rna[i] = it.pop("rna_data")
+        batch = super()._assemble(items, batch_size)
+        batch["rna_data"] = rna
+        return batch

@@ -1,0 +1,251 @@
+"""WSI → patch tiling with Otsu tissue segmentation.
+
+Capability parity with ``1_HistoPathology/1_WSI2Patches.py`` including its
+artifact contract, so downstream consumers (``PatchBagDataset``) are
+interchangeable:
+
+- per-slide directory ``<patch_path>/<slide_id>/`` with
+  ``<slide_id>_patch_<i>.png`` patches;
+- ``loc.txt``: ``slide_id <id>`` line, a header line, then
+  ``i x y patch_level patch_size_read patch_size_output`` rows
+  (``1_WSI2Patches.py:88-90,122-124``);
+- ``<mask_path>/<slide_id>/mask.npy``: the (transposed, x-major) boolean
+  tissue mask at the lowest pyramid level, dilated×3 then eroded×3
+  (``1_WSI2Patches.py:75-78``).
+
+Mask recipe (``get_mask_image``, ``1_WSI2Patches.py:37-51``): per-channel RGB
+Otsu background removal ∧ HSV-saturation Otsu ∧ RGB > 50. Otsu thresholding,
+binary morphology and the low-contrast check are implemented natively
+(numpy/scipy) — the reference's skimage/openslide stack is not a dependency.
+
+The reference fans out per-slide with ``multiprocessing.Pool``
+(``1_WSI2Patches.py:181-182``); here slides fan out across processes
+(``tile_slides``) and the per-patch candidate loop is vectorized: candidate
+grid positions are pre-filtered against the low-res mask in one numpy gather
+(the reference checks one Python ``if`` per candidate).
+
+OpenSlide is optional: ``.svs`` pyramids use it when importable; plain images
+(PNG/TIFF/JPEG) fall back to a single-level in-memory pyramid so the tiler —
+and its tests — run without any C library.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from multiprocessing import Pool
+
+import numpy as np
+from scipy import ndimage
+
+import cv2
+
+
+def otsu_threshold(values: np.ndarray) -> float:
+    """Otsu's method on a 256-bin histogram (skimage-compatible for uint8)."""
+    values = np.asarray(values)
+    if values.dtype == np.uint8:
+        hist = np.bincount(values.reshape(-1), minlength=256).astype(np.float64)
+        centers = np.arange(256, dtype=np.float64)
+    else:
+        hist, edges = np.histogram(values.reshape(-1), bins=256)
+        hist = hist.astype(np.float64)
+        centers = (edges[:-1] + edges[1:]) / 2.0
+    w0 = np.cumsum(hist)
+    w1 = w0[-1] - w0
+    mu_cum = np.cumsum(hist * centers)
+    mu0 = np.where(w0 > 0, mu_cum / np.maximum(w0, 1e-12), 0.0)
+    mu1 = np.where(
+        w1 > 0, (mu_cum[-1] - mu_cum) / np.maximum(w1, 1e-12), 0.0
+    )
+    between = w0[:-1] * w1[:-1] * (mu0[:-1] - mu1[:-1]) ** 2
+    return float(centers[np.argmax(between)])
+
+
+def rgb_to_saturation(img_rgb: np.ndarray) -> np.ndarray:
+    rgb = img_rgb.astype(np.float64)
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    return np.where(maxc > 0, (maxc - minc) / np.maximum(maxc, 1e-12), 0.0)
+
+
+def tissue_mask(img_rgb: np.ndarray, rgb_min: int = 50) -> np.ndarray:
+    """Reference mask recipe (``get_mask_image``, 1_WSI2Patches.py:37-51)."""
+    r, g, b = img_rgb[..., 0], img_rgb[..., 1], img_rgb[..., 2]
+    background = (
+        (r > otsu_threshold(r)) & (g > otsu_threshold(g)) & (b > otsu_threshold(b))
+    )
+    sat = rgb_to_saturation(img_rgb)
+    tissue_s = sat > otsu_threshold(sat)
+    return (
+        ~background
+        & tissue_s
+        & (r > rgb_min)
+        & (g > rgb_min)
+        & (b > rgb_min)
+    )
+
+
+def is_low_contrast(img_rgb: np.ndarray, fraction_threshold: float = 0.05) -> bool:
+    """skimage-equivalent: intensity range below 5% of the dtype range."""
+    gray = cv2.cvtColor(img_rgb, cv2.COLOR_RGB2GRAY)
+    lo, hi = np.percentile(gray, [1, 99])
+    return (hi - lo) / 255.0 < fraction_threshold
+
+
+class ImageSlide:
+    """Single-level fallback pyramid for plain images (no OpenSlide)."""
+
+    def __init__(self, path: str, thumb_max: int = 1024):
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(path)
+        self.img = bgr[:, :, ::-1]
+        h, w = self.img.shape[:2]
+        scale = max(1, int(np.ceil(max(h, w) / thumb_max)))
+        self.thumb = self.img[::scale, ::scale]
+        # (width, height) per level, openslide convention
+        self.level_dimensions = [
+            (w, h),
+            (self.thumb.shape[1], self.thumb.shape[0]),
+        ]
+        self.properties: dict = {}
+
+    def read_region(self, xy, level, size):
+        x, y = xy
+        w, h = size
+        src = self.img if level == 0 else self.thumb
+        out = np.zeros((h, w, 3), np.uint8)
+        ys, xs = src.shape[:2]
+        y1, x1 = min(y + h, ys), min(x + w, xs)
+        if y < ys and x < xs:
+            out[: y1 - y, : x1 - x] = src[y:y1, x:x1]
+        return out
+
+
+def open_slide(path: str):
+    if path.lower().endswith((".svs", ".ndpi", ".mrxs", ".tiff", ".tif")):
+        try:
+            from openslide import OpenSlide
+
+            return OpenSlide(path)
+        except ImportError:
+            pass
+    return ImageSlide(path)
+
+
+def _region_rgb(slide, xy, level, size) -> np.ndarray:
+    region = slide.read_region(xy, level, size)
+    if isinstance(region, np.ndarray):
+        return region
+    return np.array(region.convert("RGB"))
+
+
+@dataclass
+class TileConfig:
+    patch_size: int = 224
+    max_patches_per_slide: int = 2000
+    dezoom_factor: float = 1.0
+    background_threshold: float = 0.2
+    rgb_min: int = 50
+    seed: int = 5  # the reference's fixed shuffle seed (1_WSI2Patches.py:105)
+
+
+def extract_patches(
+    slide_path: str,
+    patch_path: str,
+    mask_path: str,
+    config: TileConfig = TileConfig(),
+    slide_id: str | None = None,
+) -> int:
+    """Tile one slide; returns the number of patches written."""
+    if slide_id is None:
+        slide_id = os.path.splitext(os.path.basename(slide_path))[0]
+    patch_dir = os.path.join(patch_path, slide_id)
+    mask_dir = os.path.join(mask_path, slide_id)
+    os.makedirs(patch_dir, exist_ok=True)
+
+    slide = open_slide(slide_path)
+    mask_level = len(slide.level_dimensions) - 1
+
+    mask_file = os.path.join(mask_dir, "mask.npy")
+    if os.path.isfile(mask_file):  # idempotent mask cache (1_WSI2Patches.py:73-80)
+        mask = np.load(mask_file)
+    else:
+        os.makedirs(mask_dir, exist_ok=True)
+        thumb = _region_rgb(
+            slide, (0, 0), mask_level, slide.level_dimensions[mask_level]
+        )
+        # reference stores the transposed (x-major) mask (1_WSI2Patches.py:58-60)
+        mask = tissue_mask(np.transpose(thumb, (1, 0, 2)), config.rgb_min)
+        mask = ndimage.binary_dilation(mask, iterations=3)
+        mask = ndimage.binary_erosion(mask, iterations=3)
+        np.save(mask_file, mask)
+
+    xmax, ymax = slide.level_dimensions[0]
+    mx, my = slide.level_dimensions[mask_level]
+    ratio_x = xmax / mx
+    ratio_y = ymax / my
+
+    app_mag = float(slide.properties.get("aperio.AppMag", 20))
+    resize_factor = (app_mag / 20.0) * config.dezoom_factor
+    read_size = int(resize_factor * config.patch_size)
+
+    # vectorized candidate grid + mask pre-filter
+    xs = np.arange(0, xmax, read_size)
+    ys = np.arange(0, ymax, read_size)
+    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
+    rng = np.random.RandomState(config.seed)
+    rng.shuffle(grid)
+    mask_ix = np.minimum((grid[:, 0] / ratio_x).astype(int), mask.shape[0] - 1)
+    mask_iy = np.minimum((grid[:, 1] / ratio_y).astype(int), mask.shape[1] - 1)
+    candidates = grid[mask[mask_ix, mask_iy]]
+
+    i = 0
+    with open(os.path.join(patch_dir, "loc.txt"), "w") as loc:
+        loc.write(f"slide_id {slide_id}\n")
+        loc.write("id x y patch_level patch_size_read patch_size_output\n")
+        for x, y in candidates:
+            patch = _region_rgb(slide, (int(x), int(y)), 0, (read_size, read_size))
+            m = ndimage.binary_dilation(
+                tissue_mask(patch, config.rgb_min), iterations=3
+            )
+            if m.sum() > config.background_threshold * m.size and not is_low_contrast(
+                patch
+            ):
+                if read_size != config.patch_size:
+                    patch = cv2.resize(
+                        patch,
+                        (config.patch_size, config.patch_size),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
+                loc.write(f"{i} {x} {y} 0 {read_size} {read_size}\n")
+                cv2.imwrite(
+                    os.path.join(patch_dir, f"{slide_id}_patch_{i}.png"),
+                    patch[:, :, ::-1],
+                )
+                i += 1
+            if i >= config.max_patches_per_slide:
+                break
+    if i == 0:
+        print(f"no patch extracted for slide {slide_id}")
+    return i
+
+
+def _tile_one(args) -> int:
+    return extract_patches(*args)
+
+
+def tile_slides(
+    slide_paths: list[str],
+    patch_path: str,
+    mask_path: str,
+    config: TileConfig = TileConfig(),
+    num_processes: int = 10,
+) -> list[int]:
+    """Fan slides out over processes (reference Pool, 1_WSI2Patches.py:181-182)."""
+    jobs = [(p, patch_path, mask_path, config) for p in slide_paths]
+    if num_processes <= 1:
+        return [_tile_one(j) for j in jobs]
+    with Pool(num_processes) as pool:
+        return pool.map(_tile_one, jobs)

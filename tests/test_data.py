@@ -1,0 +1,228 @@
+"""Data layer: tables, patch bags, on-device preprocessing, tiler round-trip."""
+
+import colorsys
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+
+from multimodalbrainsurvival_tpu.data import (
+    FeatureTableDataset,
+    PatchBagDataset,
+    PatchBagRNADataset,
+    RNATableDataset,
+)
+from multimodalbrainsurvival_tpu.ops.image import (
+    hsv_to_rgb,
+    normalize_imagenet,
+    preprocess_patches,
+    rgb_to_hsv,
+)
+
+
+# ---------- image ops ----------
+
+
+def test_rgb_hsv_roundtrip_vs_colorsys():
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(size=(50, 3)).astype(np.float32)
+    hsv = np.asarray(rgb_to_hsv(jnp.array(rgb)))
+    want = np.array([colorsys.rgb_to_hsv(*p) for p in rgb])
+    np.testing.assert_allclose(hsv, want, atol=1e-5)
+    back = np.asarray(hsv_to_rgb(jnp.array(hsv)))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_preprocess_eval_path_deterministic():
+    img = np.random.default_rng(0).integers(0, 255, (2, 3, 8, 8, 3), dtype=np.uint8)
+    a = preprocess_patches(jnp.array(img), train=False)
+    b = preprocess_patches(jnp.array(img), train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    want = normalize_imagenet(img.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=1e-6)
+
+
+def test_preprocess_train_randomizes_but_is_seeded():
+    img = np.random.default_rng(0).integers(0, 255, (4, 8, 8, 3), dtype=np.uint8)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    a = preprocess_patches(jnp.array(img), train=True, key=k1)
+    a2 = preprocess_patches(jnp.array(img), train=True, key=k1)
+    b = preprocess_patches(jnp.array(img), train=True, key=k2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_preprocess_requires_key_in_train():
+    img = jnp.zeros((1, 4, 4, 3), jnp.uint8)
+    with pytest.raises(ValueError):
+        preprocess_patches(img, train=True)
+
+
+# ---------- tables ----------
+
+
+def test_rna_table_dataset(tmp_path):
+    csv = tmp_path / "rna.csv"
+    make_survival_csv(str(csv), [f"c{i}" for i in range(7)], n_rna=20)
+    ds = RNATableDataset(str(csv))
+    assert ds.feature_dim == 20
+    assert len(ds) == 7
+    batches = list(ds.batches(4))
+    assert len(batches) == 2
+    b = batches[1]
+    assert b["data"].shape == (4, 20)
+    assert b["mask"].tolist() == [True, True, True, False]
+    assert b["case"][3] == ""
+    assert b["survival_months"].dtype == np.float32
+
+
+def test_feature_table_missing_prefix_raises(tmp_path):
+    csv = tmp_path / "x.csv"
+    make_survival_csv(str(csv), ["a"], n_rna=3)
+    with pytest.raises(ValueError):
+        FeatureTableDataset(str(csv))
+
+
+def test_table_shuffle_is_seeded(tmp_path):
+    csv = tmp_path / "rna.csv"
+    make_survival_csv(str(csv), [f"c{i}" for i in range(16)], n_rna=4)
+    ds = RNATableDataset(str(csv))
+    a = [b["case"] for b in ds.batches(8, shuffle=True, seed=3)]
+    b = [b["case"] for b in ds.batches(8, shuffle=True, seed=3)]
+    c = [b["case"] for b in ds.batches(8, shuffle=True, seed=4)]
+    assert a == b and a != c
+
+
+# ---------- patch bags ----------
+
+
+@pytest.fixture
+def patch_root(tmp_path):
+    root = tmp_path / "patches"
+    make_patch_dir(str(root), "W1", 7)
+    make_patch_dir(str(root), "W2", 4)
+    csv = tmp_path / "ffpe.csv"
+    make_survival_csv(
+        str(csv), ["c1", "c2"], wsi_names=["W1.svs", "W2.svs"]
+    )
+    return str(root), str(csv)
+
+
+def test_patch_bag_index_drops_remainder(patch_root):
+    root, csv = patch_root
+    ds = PatchBagDataset(root, csv, img_size=32, bag_size=3, max_patches_total=100)
+    # W1: 7//3 = 2 bags, W2: 4//3 = 1 bag (reference models.py:266-267)
+    assert len(ds) == 3
+    ds_keep = PatchBagDataset(
+        root, csv, img_size=32, bag_size=3, max_patches_total=100, keep_remainder=True
+    )
+    assert len(ds_keep) == 5
+
+
+def test_patch_bag_batches_shapes_and_masks(patch_root):
+    root, csv = patch_root
+    ds = PatchBagDataset(
+        root, csv, img_size=32, bag_size=3, max_patches_total=100, keep_remainder=True
+    )
+    batches = list(ds.batches(2, num_threads=2))
+    assert len(batches) == 3
+    b0 = batches[0]
+    assert b0["patch_bag"].shape == (2, 3, 32, 32, 3)
+    assert b0["patch_bag"].dtype == np.uint8
+    assert b0["sample_mask"].all()
+    # last batch padded
+    b2 = batches[2]
+    assert b2["sample_mask"].tolist() == [True, False]
+    # remainder bags masked: W1 has a 1-patch bag, W2 a 1-patch bag
+    total_real = sum(b["bag_mask"].sum() for b in batches)
+    assert total_real == 7 + 4
+
+
+def test_patch_bag_max_patches_cap(patch_root):
+    root, csv = patch_root
+    ds = PatchBagDataset(root, csv, img_size=32, bag_size=2, max_patches_total=4)
+    assert len(ds) == 4  # both slides capped at 4 patches → 2 bags each
+
+
+def test_patch_bag_shuffle_permutes_within_slide(patch_root):
+    root, csv = patch_root
+    ds = PatchBagDataset(root, csv, img_size=32, bag_size=3)
+    before = list(ds.data["W1"]["images"])
+    ds.shuffle()
+    after = list(ds.data["W1"]["images"])
+    assert sorted(before) == sorted(after) and before != after
+
+
+def test_patch_bag_rna(tmp_path):
+    root = tmp_path / "patches"
+    make_patch_dir(str(root), "W1", 4)
+    csv = tmp_path / "joint.csv"
+    make_survival_csv(str(csv), ["c1"], wsi_names=["W1.svs"], n_rna=12)
+    ds = PatchBagRNADataset(str(root), str(csv), img_size=32, bag_size=2)
+    assert ds.rna_dim == 12
+    b = next(ds.batches(2, num_threads=1))
+    assert b["rna_data"].shape == (2, 12)
+    assert np.abs(b["rna_data"][:2]).sum() > 0
+
+
+def test_patch_bag_corrupt_png_raises_not_hangs(patch_root):
+    """A decode failure in the producer thread must propagate, not deadlock."""
+    root, csv = patch_root
+    ds = PatchBagDataset(root, csv, img_size=32, bag_size=2)
+    with open(os.path.join(root, "W1", "W1_patch_1.png"), "wb") as f:
+        f.write(b"not a png")
+    with pytest.raises(FileNotFoundError):
+        for _ in ds.batches(2, num_threads=2):
+            pass
+
+
+# ---------- tiler round-trip ----------
+
+
+def test_tiler_roundtrip(tmp_path):
+    from multimodalbrainsurvival_tpu.data.tiler import TileConfig, extract_patches
+
+    # synthetic slide: white background with a pink "tissue" blob
+    import cv2
+
+    rng = np.random.default_rng(0)
+    slide = np.full((512, 512, 3), 255, np.uint8)
+    noise = rng.integers(0, 60, size=(256, 320, 3), dtype=np.uint8)
+    slide[128:384, 64:384] = np.array([200, 120, 160], np.uint8) - noise // 2
+    slide_path = str(tmp_path / "S1.png")
+    cv2.imwrite(slide_path, slide[:, :, ::-1])
+
+    patch_path = str(tmp_path / "patches")
+    mask_path = str(tmp_path / "masks")
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=100)
+    n = extract_patches(slide_path, patch_path, mask_path, cfg)
+    assert n > 0
+
+    # artifact contract
+    loc = os.path.join(patch_path, "S1", "loc.txt")
+    lines = open(loc).read().splitlines()
+    assert lines[0] == "slide_id S1"
+    assert lines[1].startswith("id x y")
+    assert len(lines) - 2 == n
+    assert os.path.isfile(os.path.join(mask_path, "S1", "mask.npy"))
+    # every patch lands in the blob region
+    for ln in lines[2:]:
+        parts = ln.split()
+        x, y = int(parts[1]), int(parts[2])
+        assert 0 <= x < 512 and 64 <= y
+    # idempotent mask cache: second run reuses mask.npy
+    n2 = extract_patches(slide_path, patch_path, mask_path, cfg)
+    assert n2 == n
+
+    # downstream integration: PatchBagDataset reads the tiler's artifacts
+    csv = tmp_path / "ffpe.csv"
+    make_survival_csv(str(csv), ["c1"], wsi_names=["S1.svs"])
+    ds = PatchBagDataset(str(patch_path), str(csv), img_size=64, bag_size=1)
+    assert len(ds) == n
+    b = next(ds.batches(1, num_threads=1))
+    assert b["patch_bag"].shape == (1, 1, 64, 64, 3)

@@ -1,0 +1,95 @@
+"""Shared CLI scaffolding mirroring the reference driver surface.
+
+Every reference entry point is ``python <script> --config cfg.json [--seed N]
+[--log 0/1] [--quick 0/1]`` with config keys overriding args for ``flag`` /
+``checkpoint_path`` / ``summary_path`` (``2_HistoPath_train.py:439-456,
+599-604``). Checkpoints live at ``<checkpoint_path>/models/<flag>/`` and
+output frames at ``<checkpoint_path>/outputs/<flag>/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import numpy as np
+
+from multimodalbrainsurvival_tpu.config import Config
+from multimodalbrainsurvival_tpu.utils.logging import MetricWriter
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", type=str, default="config.json",
+                   help="configuration json file")
+    p.add_argument("--quick", type=int, default=0,
+                   help="use small datasets to check that the script runs")
+    p.add_argument("--log", type=int, default=0,
+                   help="0 = do not use a summary writer")
+    p.add_argument("--seed", type=int, default=1111,
+                   help="seed for the random number generator")
+    return p
+
+
+def load_config(args) -> tuple[Config, str, str, str]:
+    """Returns (config, flag, checkpoint_path, summary_path) with the
+    reference's config-over-args override semantics."""
+    config = Config.from_json(args.config)
+    np.random.seed(args.seed)
+    flag = config.get("flag", "") or "train_{date:%Y-%m-%d_%H:%M:%S}".format(
+        date=datetime.datetime.now()
+    )
+    checkpoint_path = config.get("checkpoint_path", "checkpoints/")
+    summary_path = config.get("summary_path", os.path.join(checkpoint_path, "summary"))
+    return config, flag, checkpoint_path, summary_path
+
+
+def experiment_dirs(checkpoint_path: str, flag: str) -> tuple[str, str]:
+    save_dir = os.path.join(checkpoint_path, "models", flag)
+    output_dir = os.path.join(checkpoint_path, "outputs", flag)
+    os.makedirs(save_dir, exist_ok=True)
+    return save_dir, output_dir
+
+
+def make_writer(log: bool, summary_path: str, flag: str, config: Config):
+    if not log:
+        return None
+    d = os.path.join(
+        summary_path,
+        datetime.datetime.now().strftime("%Y-%m-%d_%H:%M:%S") + f"_{flag}",
+    )
+    writer = MetricWriter(d)
+    writer.text("config", dict(config.raw))
+    return writer
+
+
+def savescore_name(prefix: str, dataset: str, flag: str) -> str:
+    """Reference naming: ``<prefix>_<split>[_<flag>]_df.csv`` where the flag
+    is appended only for cross-validation runs (``'cv' in flag`` —
+    ``2_GeneExpress_savescore.py:186-190``)."""
+    if "cv" in flag:
+        return f"{prefix}_{dataset}_{flag}_df.csv"
+    return f"{prefix}_{dataset}_df.csv"
+
+
+def maybe_restore(variables, config: Config, ckpt, keys=("restore_path", "model_path")):
+    """Warm-start parity: reference loads ``restore_path`` then ``model_path``
+    if set (``2_HistoPath_train.py:531-537``)."""
+    for key in keys:
+        path = config.get(key, "")
+        if path:
+            variables = ckpt.restore(path, variables)
+            print("Loaded model from checkpoint for finetuning")
+    return variables
+
+
+def extract_features_frames(cases: list[str], feats: np.ndarray):
+    """Per-case mean feature aggregation (``4_HistoPath_extractfeatures.py:80-88``)."""
+    import pandas as pd
+
+    frame = pd.concat(
+        [pd.DataFrame({"case": cases}), pd.DataFrame(feats)], axis=1
+    )
+    grouped = frame.groupby("case", sort=False).mean()
+    return list(grouped.index), grouped.to_numpy()

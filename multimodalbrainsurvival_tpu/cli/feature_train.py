@@ -1,0 +1,69 @@
+"""Early-fusion training CLI.
+
+Parity with ``3_EarlyFusion/2_EarlyFusion_train.py``: Cox training of the
+``4096→2048→200→1`` MLP over concatenated features, single Adam group with
+``lr`` (``config_feature_train.json``).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    experiment_dirs,
+    load_config,
+    make_parser,
+    make_writer,
+    maybe_restore,
+)
+from multimodalbrainsurvival_tpu.data import FeatureTableDataset
+from multimodalbrainsurvival_tpu.models import EarlyFusionMLP
+from multimodalbrainsurvival_tpu.train import TrainSettings, torch_adam, train_model
+from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+
+def build_feature_model() -> EarlyFusionMLP:
+    return EarlyFusionMLP(hidden_dims=(2048, 200))
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, checkpoint_path, summary_path = load_config(args)
+    save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
+
+    datasets = {
+        "train": FeatureTableDataset(config["train_csv_path"]),
+        "val": FeatureTableDataset(config["val_csv_path"]),
+        "test": FeatureTableDataset(config["test_csv_path"]),
+    }
+    model = build_feature_model()
+    adapter = TableAdapter(model=model)
+    settings = TrainSettings(
+        num_epochs=1 if args.quick else config.num_epochs,
+        task="survival_prediction",
+        batch_size=config.batch_size,
+        save_dir=save_dir,
+        output_dir=output_dir,
+        seed=args.seed,
+        log_interval=config.log_interval,
+        reference_parity=config.reference_parity,
+    )
+    writer = make_writer(args.log, summary_path, flag, config)
+
+    rng = jax.random.PRNGKey(args.seed)
+    probe = next(datasets["train"].batches(settings.batch_size))
+    variables = adapter.init(rng, {k: jax.numpy.asarray(probe[k])
+                                   for k in adapter.array_keys})
+    variables = maybe_restore(variables, config, Checkpointer(),
+                              keys=("restore_path",))
+    tx = torch_adam(float(config["lr"]), config.weight_decay)
+
+    train_model(adapter, datasets, tx, settings, variables=variables,
+                writer=writer, rng=rng)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

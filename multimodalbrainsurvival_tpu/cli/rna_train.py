@@ -1,0 +1,90 @@
+"""RNA pipeline training CLI.
+
+Parity with ``2_GeneExpression/1_GeneExpress_train.py``: Cox training of the
+12778→4096→2048 MLP encoder + linear head, two Adam param groups
+(``lr_rna`` for the encoder, ``lr_mlp`` for the head, ``:303-305``), configs
+like ``ExampleConfigs/config_rna_train.json`` accepted verbatim.
+
+Usage: ``python -m multimodalbrainsurvival_tpu.cli.rna_train --config cfg.json``
+"""
+
+from __future__ import annotations
+
+import jax
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    experiment_dirs,
+    load_config,
+    make_parser,
+    make_writer,
+    maybe_restore,
+)
+from multimodalbrainsurvival_tpu.data import RNATableDataset
+from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+from multimodalbrainsurvival_tpu.train.optim import (
+    build_grouped_optimizer,
+    path_prefix_match,
+    torch_adam,
+)
+
+
+def build_rna_model() -> RNAOnlyModel:
+    return RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4096, 2048)))
+
+
+def build_rna_optimizer(params, config):
+    groups = [
+        ("rna", path_prefix_match("encoder"),
+         torch_adam(float(config["lr_rna"]), config.weight_decay)),
+        ("mlp", path_prefix_match("final"),
+         torch_adam(float(config["lr_mlp"]), config.weight_decay)),
+    ]
+    tx, _ = build_grouped_optimizer(params, groups)
+    return tx
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, checkpoint_path, summary_path = load_config(args)
+    save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
+
+    datasets = {
+        "train": RNATableDataset(config["train_csv_path"]),
+        "val": RNATableDataset(config["val_csv_path"]),
+        "test": RNATableDataset(config["test_csv_path"]),
+    }
+    print("loaded datasets")
+
+    model = build_rna_model()
+    adapter = TableAdapter(model=model)
+    settings = TrainSettings(
+        num_epochs=1 if args.quick else config.num_epochs,
+        task="survival_prediction",
+        batch_size=config.batch_size,
+        save_dir=save_dir,
+        output_dir=output_dir,
+        seed=args.seed,
+        log_interval=config.log_interval,
+        reference_parity=config.reference_parity,
+    )
+    writer = make_writer(args.log, summary_path, flag, config)
+
+    rng = jax.random.PRNGKey(args.seed)
+    probe = next(datasets["train"].batches(settings.batch_size))
+    variables = adapter.init(rng, {k: jax.numpy.asarray(probe[k])
+                                   for k in adapter.array_keys})
+    variables = maybe_restore(variables, config, Checkpointer(),
+                              keys=("restore_path",))
+    tx = build_rna_optimizer(variables["params"], config)
+
+    train_model(adapter, datasets, tx, settings, variables=variables,
+                writer=writer, rng=rng)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

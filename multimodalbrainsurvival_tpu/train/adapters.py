@@ -1,0 +1,180 @@
+"""Model adapters: one uniform interface between batches and models.
+
+The reference duplicates its train/eval loops per pipeline because each model
+takes different inputs (``patch_bag`` vs ``rna_data`` vs ``feature_data`` vs
+both — SURVEY.md §2.3). Here a single generic loop (``train/loop.py``) drives
+any model through an adapter that knows (a) which batch keys are device
+arrays, (b) how to apply the model in train/eval mode, and (c) how to extract
+embeddings. MIL adapters also run the on-device augmentation pipeline
+(``ops/image.py``) inside the jitted step.
+
+Adapter contract::
+
+    init(rng, arrays)                      -> variables
+    apply(variables, arrays, train, rng)   -> (outputs (B, C), new_batch_stats | None)
+    extract(variables, arrays)             -> features (B, D)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+
+def _split_variables(variables):
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    return params, batch_stats
+
+
+def _join_variables(params, batch_stats):
+    v = {"params": params}
+    if batch_stats is not None:
+        v["batch_stats"] = batch_stats
+    return v
+
+
+@dataclass
+class TableAdapter:
+    """Feature-vector models (RNA MLP, early-fusion MLP)."""
+
+    model: Any
+    input_key: str = "data"
+    sample_mask_key: str = "mask"
+    array_keys: tuple = ()
+    id_keys: tuple = ("case",)
+    loader_kwargs: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.array_keys = (self.input_key, self.sample_mask_key)
+
+    def init(self, rng, arrays):
+        return self.model.init(rng, arrays[self.input_key], train=False)
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        out = self.model.apply(
+            variables,
+            arrays[self.input_key],
+            train=train,
+            rngs={"dropout": rng} if train else None,
+        )
+        return out, None
+
+    def extract(self, variables, arrays):
+        return self.model.apply(
+            variables, arrays[self.input_key], train=False, method="extract"
+        )
+
+
+@dataclass
+class MILAdapter:
+    """Patch-bag models (AggregationModel / AggregationProjectModel)."""
+
+    model: Any
+    augment: bool = True
+    sample_mask_key: str = "sample_mask"
+    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask")
+    id_keys: tuple = ("WSI", "case")
+    loader_kwargs: dict = field(default_factory=dict)
+
+    def _preprocess(self, arrays, train, rng):
+        do_aug = train and self.augment
+        return preprocess_patches(
+            arrays["patch_bag"], train=do_aug, key=rng if do_aug else None
+        )
+
+    def init(self, rng, arrays):
+        x = self._preprocess(arrays, False, None)
+        return self.model.init(rng, x, mask=arrays["bag_mask"], train=False)
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if train and rng is not None:
+            rng_img, rng_drop = jax.random.split(rng)
+        else:
+            rng_img = rng_drop = rng
+        x = self._preprocess(arrays, train, rng_img)
+        params, batch_stats = _split_variables(variables)
+        if train and batch_stats is not None:
+            (out, _attn), updates = self.model.apply(
+                _join_variables(params, batch_stats),
+                x,
+                mask=arrays["bag_mask"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            return out, updates["batch_stats"]
+        out, _attn = self.model.apply(
+            variables, x, mask=arrays["bag_mask"], train=False
+        )
+        return out, None
+
+    def extract(self, variables, arrays):
+        x = self._preprocess(arrays, False, None)
+        feats, _attn = self.model.apply(
+            variables, x, mask=arrays["bag_mask"], train=False, method="extract"
+        )
+        return feats
+
+
+@dataclass
+class JointAdapter:
+    """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
+
+    model: Any
+    augment: bool = True
+    sample_mask_key: str = "sample_mask"
+    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
+    id_keys: tuple = ("WSI", "case")
+    loader_kwargs: dict = field(default_factory=dict)
+
+    def _preprocess(self, arrays, train, rng):
+        do_aug = train and self.augment
+        return preprocess_patches(
+            arrays["patch_bag"], train=do_aug, key=rng if do_aug else None
+        )
+
+    def init(self, rng, arrays):
+        x = self._preprocess(arrays, False, None)
+        return self.model.init(
+            rng, x, arrays["rna_data"], mask=arrays["bag_mask"], train=False
+        )
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if train and rng is not None:
+            rng_img, rng_drop = jax.random.split(rng)
+        else:
+            rng_img = rng_drop = rng
+        x = self._preprocess(arrays, train, rng_img)
+        params, batch_stats = _split_variables(variables)
+        if train and batch_stats is not None:
+            out, updates = self.model.apply(
+                _join_variables(params, batch_stats),
+                x,
+                arrays["rna_data"],
+                mask=arrays["bag_mask"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            return out, updates["batch_stats"]
+        out = self.model.apply(
+            variables, x, arrays["rna_data"], mask=arrays["bag_mask"], train=False
+        )
+        return out, None
+
+    def extract(self, variables, arrays):
+        x = self._preprocess(arrays, False, None)
+        return self.model.apply(
+            variables,
+            x,
+            arrays["rna_data"],
+            mask=arrays["bag_mask"],
+            train=False,
+            method="extract",
+        )

@@ -1,0 +1,351 @@
+"""Generic config-driven train / eval loop — ONE implementation for all
+pipelines (the reference carries five drifted copies; SURVEY.md §2.3).
+
+Flow parity with the canonical driver (``2_HistoPath_train.py:282-437``):
+
+- per epoch: dataset ``shuffle()`` (patch lists), jitted train steps over the
+  epoch, ``bags/s`` throughput logging every ``log_interval`` steps, then a
+  full evaluate on train and val;
+- best checkpoint by val loss, only for ``epoch > 0`` (reference quirk at
+  ``:378-381``, kept under parity);
+- after training: save last, evaluate last+best on train/val/test, write
+  ``{split}_output_{last,best}.csv`` frames (``:422-432``).
+
+Tasks: ``survival_prediction`` (Cox), ``survival_bin`` (discrete NLL),
+``classification`` (cross-entropy) — ``2_HistoPath_train.py:561-566``.
+
+TPU-first: one compiled ``train_step``/``eval_step`` per shape signature;
+host↔device traffic is uint8 patch bags in, scalar loss + (B, C) outputs out;
+augmentation runs on device inside the step (``train/adapters.py``). The same
+step functions run under a ``jax.sharding.Mesh`` when batches are placed with
+a sharded layout (``parallel/``) — the Cox loss handles the cross-device risk
+set (``ops/cox.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodalbrainsurvival_tpu.ops import cox_partial_likelihood_loss, nll_surv_loss
+from multimodalbrainsurvival_tpu.ops import metrics as M
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+
+@dataclass
+class TrainSettings:
+    num_epochs: int = 10
+    task: str = "survival_prediction"
+    num_classes: int = 1
+    target_label: str = "vital_status"
+    log_interval: int = 100
+    save_dir: str | None = None
+    output_dir: str | None = None
+    reference_parity: bool = True
+    seed: int = 1111
+    batch_size: int = 128
+    eval_splits_during_training: tuple = ("train", "val")
+    device_put_fn: Callable | None = None  # parallel/: shard batches onto a mesh
+    extra_loader_kwargs: dict = field(default_factory=dict)
+
+
+def make_loss_fn(settings: TrainSettings):
+    task = settings.task
+    if task == "survival_prediction":
+        keys = ("survival_months", "vital_status")
+
+        def loss_fn(out, arrays, mask):
+            return cox_partial_likelihood_loss(
+                out[:, 0],
+                arrays["survival_months"],
+                arrays["vital_status"],
+                mask=mask,
+                reference_parity=settings.reference_parity,
+            )
+
+    elif task == "survival_bin":
+        keys = ("survival_bin", "vital_status")
+
+        def loss_fn(out, arrays, mask):
+            censoring = 1.0 - arrays["vital_status"].astype(jnp.float32)
+            return nll_surv_loss(
+                out, arrays["survival_bin"], censoring, mask=mask
+            )
+
+    elif task == "classification":
+        keys = (settings.target_label,)
+
+        def loss_fn(out, arrays, mask):
+            labels = arrays[settings.target_label].astype(jnp.int32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(out, labels)
+            m = mask.astype(jnp.float32)
+            return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    else:
+        raise ValueError(f"Unknown task: {task!r}")
+    return loss_fn, keys
+
+
+def _device_arrays(batch: dict, keys: tuple, device_put_fn=None) -> dict:
+    arrays = {k: jnp.asarray(batch[k]) for k in keys}
+    if device_put_fn is not None:
+        arrays = device_put_fn(arrays)
+    return arrays
+
+
+def _collect_ids(batch: dict, mask: np.ndarray, id_keys: tuple) -> dict:
+    return {k: [v for v, m in zip(batch[k], mask) if m] for k in id_keys if k in batch}
+
+
+def evaluate(
+    adapter,
+    variables,
+    dataset,
+    settings: TrainSettings,
+    *,
+    split: str = "val",
+    epoch: int = 0,
+    writer=None,
+):
+    """Full-split eval: mean batch loss + task metrics + the reference's
+    per-id score frame (``2_HistoPath_train.py:54-148``)."""
+    loss_fn, loss_keys = make_loss_fn(settings)
+    all_keys = tuple(dict.fromkeys(adapter.array_keys + loss_keys))
+
+    @jax.jit
+    def eval_step(variables, arrays):
+        out, _ = adapter.apply(variables, arrays, train=False)
+        loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
+        return out, loss
+
+    outputs, losses, ids = [], [], {k: [] for k in adapter.id_keys}
+    labels: dict[str, list] = {}
+    for batch in dataset.batches(
+        settings.batch_size, shuffle=False, **adapter.loader_kwargs,
+        **settings.extra_loader_kwargs,
+    ):
+        arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
+        out, loss = eval_step(variables, arrays)
+        losses.append(float(loss))
+        mask = np.asarray(batch[adapter.sample_mask_key])
+        outputs.append(np.asarray(out)[mask])
+        for k, v in _collect_ids(batch, mask, adapter.id_keys).items():
+            ids[k].extend(v)
+        for k in set(loss_keys) | {settings.target_label}:
+            if k in batch:
+                labels.setdefault(k, []).extend(np.asarray(batch[k])[mask].tolist())
+
+    outputs = np.concatenate(outputs, axis=0)
+    val_loss = float(np.mean(losses))
+    months = np.array(labels.get("survival_months", []))
+    status = np.array(labels.get("vital_status", []))
+
+    metrics: dict[str, float] = {"loss": val_loss}
+    frame = None
+    if settings.task == "survival_prediction":
+        for key in adapter.id_keys:
+            if not ids.get(key):
+                continue
+            ci, frame = M.survival_ci(outputs, ids[key], months, status)
+            level = "wsi" if key == "WSI" else "case"
+            metrics[f"{level}_CI"] = ci
+            print(f"{split} {level}  | epoch {epoch} | CI {ci:.3f}")
+    elif settings.task == "survival_bin":
+        for key in adapter.id_keys:
+            if not ids.get(key):
+                continue
+            ci, frame = M.nllsurv_ci(
+                outputs, status, months, ids[key], settings.num_classes
+            )
+            level = "wsi" if key == "WSI" else "case"
+            metrics[f"{level}_CI"] = ci
+            print(f"{split} {level}  | epoch {epoch} | CI {ci:.3f}")
+    elif settings.task == "classification":
+        y = np.array(labels[settings.target_label])
+        for key in adapter.id_keys:
+            if not ids.get(key):
+                continue
+            acc, f1, auc, frame = M.classification_scores(outputs, ids[key], y)
+            level = "wsi" if key == "WSI" else "case"
+            metrics.update(
+                {f"{level}_acc": acc, f"{level}_f1": f1, f"{level}_auc": auc}
+            )
+            print(
+                f"{split} {level}  | epoch {epoch} | acc {acc:.3f} | f1 {f1:.3f} "
+                f"| auc {auc:.3f}"
+            )
+    if writer is not None:
+        for k, v in metrics.items():
+            writer.scalar(f"{split}/{k}", v, epoch)
+    return val_loss, frame, metrics
+
+
+def train_model(
+    adapter,
+    datasets: dict[str, Any],
+    tx: optax.GradientTransformation,
+    settings: TrainSettings,
+    *,
+    variables=None,
+    writer=None,
+    rng=None,
+):
+    """Returns (variables_last, variables_best, outputs dict of frames)."""
+    loss_fn, loss_keys = make_loss_fn(settings)
+    all_keys = tuple(dict.fromkeys(adapter.array_keys + loss_keys))
+    if rng is None:
+        rng = jax.random.PRNGKey(settings.seed)
+
+    # init from a probe batch
+    if variables is None:
+        probe = next(
+            datasets["train"].batches(
+                settings.batch_size, **adapter.loader_kwargs,
+                **settings.extra_loader_kwargs,
+            )
+        )
+        rng, init_rng = jax.random.split(rng)
+        variables = adapter.init(
+            init_rng, _device_arrays(probe, all_keys, settings.device_put_fn)
+        )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, arrays, step_rng):
+        def compute(p):
+            v = {"params": p}
+            if batch_stats is not None:
+                v["batch_stats"] = batch_stats
+            out, new_stats = adapter.apply(v, arrays, train=True, rng=step_rng)
+            loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, loss
+
+    ckpt = Checkpointer() if settings.save_dir else None
+    if settings.save_dir:
+        os.makedirs(settings.save_dir, exist_ok=True)
+
+    best_val_loss = np.inf
+    best_epoch = -1
+    step = 0
+    for epoch in range(settings.num_epochs):
+        print(f"Epoch {epoch}/{settings.num_epochs - 1}")
+        print("-" * 10)
+        if hasattr(datasets["train"], "shuffle"):
+            datasets["train"].shuffle()
+
+        running_loss, seen = 0.0, 0
+        t_last = time.time()
+        for batch in datasets["train"].batches(
+            settings.batch_size,
+            shuffle=True,
+            seed=settings.seed + epoch,
+            **adapter.loader_kwargs,
+            **settings.extra_loader_kwargs,
+        ):
+            arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
+            rng, step_rng = jax.random.split(rng)
+            params, new_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, arrays, step_rng
+            )
+            if batch_stats is not None:
+                batch_stats = new_stats
+            step += 1
+            bsz = int(np.asarray(batch[adapter.sample_mask_key]).sum())
+            running_loss += float(loss) * bsz
+            seen += bsz
+            if step % settings.log_interval == 0:
+                speed = settings.log_interval * settings.batch_size / (
+                    time.time() - t_last
+                )
+                t_last = time.time()
+                print(
+                    f"train | epoch {epoch} | step {step} | "
+                    f"loss {running_loss / max(seen, 1):10.3f} |{speed:10.3f} bags/s"
+                )
+                if writer is not None:
+                    writer.scalar("train/loss", running_loss / max(seen, 1), step)
+                    writer.scalar("train/bags_per_s", speed, step)
+
+        print(f"EPOCH Loss: {running_loss / max(seen, 1):.4f}")
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+
+        for split in settings.eval_splits_during_training:
+            if split not in datasets:
+                continue
+            sl, _, _ = evaluate(
+                adapter, variables, datasets[split], settings,
+                split=split, epoch=epoch, writer=writer,
+            )
+            print(f"{split.upper()} Loss: {sl:.4f}")
+            if split == "val":
+                # parity quirk: best is only tracked for epoch > 0
+                # (2_HistoPath_train.py:378-381)
+                if sl < best_val_loss and (
+                    epoch > 0 or not settings.reference_parity
+                ):
+                    best_epoch = epoch
+                    best_val_loss = sl
+                    if ckpt is not None:
+                        ckpt.save(
+                            os.path.join(settings.save_dir, "model_dict_best"),
+                            variables,
+                        )
+
+    if ckpt is not None:
+        ckpt.save(os.path.join(settings.save_dir, "model_last"), variables)
+
+    # final evals: last + best on train/val/test with CSV artifacts
+    outputs: dict[str, Any] = {}
+    candidates = [("last", variables)]
+    best_path = (
+        os.path.join(settings.save_dir, "model_dict_best")
+        if settings.save_dir
+        else None
+    )
+    if best_path and Checkpointer.exists(best_path):
+        print(f"LOADING BEST MODEL, best epoch = {best_epoch}")
+        best_vars = ckpt.restore(best_path, variables)
+        candidates.append(("best", best_vars))
+    else:
+        best_vars = variables
+        candidates.append(("best", variables))
+
+    for tag, v in candidates:
+        for split in ("train", "val", "test"):
+            if split not in datasets:
+                continue
+            _, frame, mets = evaluate(
+                adapter, v, datasets[split], settings,
+                split=split, epoch=best_epoch if tag == "best" else
+                settings.num_epochs - 1, writer=writer,
+            )
+            outputs[f"{split}_output_{tag}"] = frame
+            outputs[f"{split}_metrics_{tag}"] = mets
+
+    if settings.output_dir:
+        os.makedirs(settings.output_dir, exist_ok=True)
+        for name, frame in outputs.items():
+            if name.endswith(("_last", "_best")) and frame is not None and not isinstance(frame, dict):
+                frame.to_csv(
+                    os.path.join(settings.output_dir, f"{name}.csv"), index=False
+                )
+        print(f"Wrote model output files to {settings.output_dir}")
+
+    return variables, best_vars, outputs

@@ -1,0 +1,123 @@
+"""Benchmark: WSI feature-extraction throughput (patches/sec/chip).
+
+The north-star metric (BASELINE.json): ResNet-50 ``extractfeatures``
+inference throughput. The measured path is the real serving path of
+``cli/histo_extractfeatures.py``: uint8 patches → on-device normalize →
+bf16 NHWC ResNet-50 ``extract`` → 2048-d embeddings.
+
+Baseline denominator: the reference repo publishes no numbers (BASELINE.md),
+so the 1× denominator is measured here by running the REFERENCE's own
+``1_HistoPathology/resnet.py`` torch model (imported read-only from
+/root/reference, float32, eval mode) on this host's CPU — the only hardware
+both stacks can run on in this container. The denominator is cached in
+``.bench_baseline.json`` after first measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+
+def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.models import resnet50
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+    model = resnet50(dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+        train=False,
+    )
+
+    @jax.jit
+    def extract(v, patches_u8):
+        x = preprocess_patches(patches_u8, train=False, dtype=jnp.bfloat16)
+        return model.apply(v, x, train=False, method="extract")
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    for bs in batch_sizes:
+        x = jax.device_put(
+            rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
+        )
+        extract(variables, x).block_until_ready()  # compile
+        extract(variables, x).block_until_ready()  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = extract(variables, x)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        rate = bs * iters / dt
+        print(f"# batch {bs}: {rate:.1f} patches/s", file=sys.stderr)
+        best = max(best, rate)
+    return best
+
+
+def measure_reference_torch_cpu(batch=32, iters=4) -> float:
+    """Reference torch ResNet-50 forward_extract on this host's CPU (1x)."""
+    import torch
+
+    ref_dir = "/root/reference/1_HistoPathology"
+    if not os.path.isdir(ref_dir):
+        return float("nan")
+    sys.path.insert(0, ref_dir)
+    try:
+        import resnet as ref_resnet
+    finally:
+        sys.path.remove(ref_dir)
+    torch.manual_seed(0)
+    model = ref_resnet.resnet50(pretrained=False)
+    model.eval()
+    x = torch.randn(batch, 3, 224, 224)
+    with torch.no_grad():
+        model.forward_extract(x)  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model.forward_extract(x)
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    tpu_rate = measure_tpu_patches_per_sec()
+
+    if os.path.isfile(CACHE):
+        with open(CACHE) as f:
+            base = json.load(f)["reference_torch_cpu_patches_per_sec"]
+    else:
+        base = measure_reference_torch_cpu()
+        if np.isfinite(base):
+            with open(CACHE, "w") as f:
+                json.dump(
+                    {"reference_torch_cpu_patches_per_sec": base,
+                     "note": "reference resnet50 forward_extract, torch CPU, "
+                             "this host (no CUDA available)"},
+                    f,
+                )
+    vs = tpu_rate / base if np.isfinite(base) and base > 0 else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_extractfeatures_throughput",
+                "value": round(tpu_rate, 1),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Histopathology feature-embedding export CLI — the throughput north star.
+
+Parity with ``1_HistoPathology/4_HistoPath_extractfeatures.py``: runs the
+post-aggregator bag embedding (``model.extract``), per-case mean (``:80-88``),
+writes ``pathology_cases_<split>.csv`` + ``pathology_features_<split>.csv``
+(``:181-192``). This is the ResNet-inference hot path the benchmark measures
+(patches/sec/chip); the MIL extract runs in the model's compute dtype
+(``compute_dtype: bfloat16`` on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    extract_features_frames,
+    load_config,
+    make_parser,
+)
+from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets, build_mil_model
+from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+
+def extract_split(adapter, variables, dataset, batch_size):
+    extract = jax.jit(adapter.extract)
+    feats, cases, wsis = [], [], []
+    for batch in dataset.batches(batch_size, shuffle=False,
+                                 **adapter.loader_kwargs):
+        arrays = {k: jnp.asarray(batch[k]) for k in adapter.array_keys}
+        out = np.asarray(extract(variables, arrays))
+        mask = np.asarray(batch[adapter.sample_mask_key])
+        feats.append(out[mask])
+        cases.extend([c for c, m in zip(batch["case"], mask) if m])
+        wsis.extend([w for w, m in zip(batch["WSI"], mask) if m])
+    return cases, wsis, np.concatenate(feats, axis=0)
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, _, _ = load_config(args)
+    output_path = config.get("output_path", "")
+    os.makedirs(output_path or ".", exist_ok=True)
+
+    datasets = build_datasets(config, bool(args.quick))
+    model = build_mil_model(config)
+    adapter = MILAdapter(
+        model=model,
+        loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+    )
+
+    probe = next(datasets["train"].batches(config.batch_size,
+                                           **adapter.loader_kwargs))
+    variables = adapter.init(
+        jax.random.PRNGKey(args.seed),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    variables = Checkpointer().restore(config["model_path"], variables)
+
+    suffix = f"_{flag}" if "cv" in flag else ""
+    for split, ds in datasets.items():
+        print(f"extracting features for dataset : {split}")
+        cases, _, feats = extract_split(adapter, variables, ds, config.batch_size)
+        uc, uf = extract_features_frames(cases, feats)
+        pd.DataFrame(uc).to_csv(
+            os.path.join(output_path, f"pathology_cases_{split}{suffix}.csv")
+        )
+        np.savetxt(
+            os.path.join(output_path, f"pathology_features_{split}{suffix}.csv"),
+            uf, delimiter=",",
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Histopathology risk-score export CLI.
+
+Parity with ``1_HistoPathology/3_HistoPath_savescore.py``: loads
+``model_path``, evaluates each split, writes
+``<output_path>/<model_file>_pathology_<split>[_<flag>]_df.csv`` (``:344-349``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    load_config,
+    make_parser,
+    savescore_name,
+)
+from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets, build_mil_model
+from multimodalbrainsurvival_tpu.train import TrainSettings, evaluate
+from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, _, _ = load_config(args)
+    output_path = config.get("output_path", "")
+    os.makedirs(output_path or ".", exist_ok=True)
+
+    datasets = build_datasets(config, bool(args.quick))
+    model = build_mil_model(config)
+    adapter = MILAdapter(
+        model=model,
+        loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+    )
+    settings = TrainSettings(
+        task=config.task,
+        num_classes=config.num_classes,
+        target_label=config.target_label,
+        batch_size=config.batch_size,
+    )
+
+    probe = next(datasets["train"].batches(settings.batch_size,
+                                           **adapter.loader_kwargs))
+    variables = adapter.init(
+        jax.random.PRNGKey(args.seed),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    variables = Checkpointer().restore(config["model_path"], variables)
+
+    prefix = os.path.basename(str(config["model_path"]).rstrip("/")) + "_pathology"
+    for split, ds in datasets.items():
+        print(f"Evaluation for dataset : {split}")
+        _, frame, _ = evaluate(adapter, variables, ds, settings, split=split)
+        out = os.path.join(output_path, savescore_name(prefix, split, flag))
+        frame.to_csv(out)
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

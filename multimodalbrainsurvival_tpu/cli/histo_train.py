@@ -1,0 +1,167 @@
+"""Histopathology MIL training CLI — the flagship pipeline.
+
+Parity with ``1_HistoPathology/2_HistoPath_train.py``: config-driven MIL
+ResNet Cox/NLL/classification training with the freeze ladder
+(``:544-551``), per-epoch in-slide patch shuffling, best/last checkpoints and
+final CSV outputs. Configs like ``ExampleConfigs/config_ffpe_train.json``
+load verbatim; ``--quick 1`` caps patches per WSI at 20 (``:495-497``).
+
+TPU-native: patches stream to the device as uint8 and the full torchvision
+augmentation stack runs batched inside the jitted train step; compute dtype
+is selectable via the ``compute_dtype`` config key (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    experiment_dirs,
+    load_config,
+    make_parser,
+    make_writer,
+    maybe_restore,
+)
+from multimodalbrainsurvival_tpu.data import PatchBagDataset
+from multimodalbrainsurvival_tpu.models import AggregationModel, make_aggregator
+from multimodalbrainsurvival_tpu.models.resnet import RESNET_CONSTRUCTORS
+from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+from multimodalbrainsurvival_tpu.train.optim import (
+    build_grouped_optimizer,
+    mil_freeze_ladder,
+    torch_adam,
+)
+
+
+def build_mil_model(config) -> AggregationModel:
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype)
+    aggregator = make_aggregator(
+        config.aggregator,
+        dim=resnet.feature_dim,
+        hdim=config.aggregator_hdim,
+        transformer_layers=int(config.get("transformer_layers", 2)),
+        dtype=dtype,
+    )
+    return AggregationModel(
+        resnet=resnet,
+        aggregator=aggregator,
+        aggregator_dim=config.aggregator_hdim,
+        out_features=config.num_classes,
+    )
+
+
+def load_pretrained(variables, config):
+    """ImageNet warm start from a torch checkpoint file (``pretrained_path``),
+    the reference's model_zoo equivalent (``resnet.py:366-376``)."""
+    path = config.get("pretrained_path", "")
+    if config.get("pretrained") and path:
+        from multimodalbrainsurvival_tpu.models.convert import (
+            load_torch_state_dict,
+            torch_resnet_to_flax,
+        )
+
+        converted = torch_resnet_to_flax(load_torch_state_dict(path))
+        variables["params"]["resnet"].update(
+            jax.tree.map(jnp.asarray, converted["params"])
+        )
+        variables["batch_stats"]["resnet"].update(
+            jax.tree.map(jnp.asarray, converted["batch_stats"])
+        )
+        print(f"Loaded pretrained ResNet weights from {path}")
+    elif config.get("pretrained"):
+        print(
+            "pretrained=true but no 'pretrained_path' given; using random init "
+            "(no network access for model-zoo downloads)"
+        )
+    return variables
+
+
+def build_datasets(config, quick: bool):
+    max_train = config.get("max_patch_per_wsi_train", 1000)
+    max_val = config.get("max_patch_per_wsi_val", 1000)
+    if quick:
+        max_train = max_val = 20  # 2_HistoPath_train.py:495-497
+    common = dict(
+        patch_data_path=config["data_path"],
+        img_size=config.img_size,
+        keep_remainder=bool(config.get("keep_bag_remainder", False)),
+    )
+    return {
+        "train": PatchBagDataset(
+            csv_path=config["train_csv_path"],
+            bag_size=config.get("train_bag_size", 1),
+            max_patches_total=max_train,
+            **common,
+        ),
+        "val": PatchBagDataset(
+            csv_path=config["val_csv_path"],
+            bag_size=config.get("val_bag_size", 1),
+            max_patches_total=max_val,
+            **common,
+        ),
+        "test": PatchBagDataset(
+            csv_path=config["test_csv_path"],
+            bag_size=config.get("val_bag_size", 1),
+            max_patches_total=max_val,
+            **common,
+        ),
+    }
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, checkpoint_path, summary_path = load_config(args)
+    save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
+
+    datasets = build_datasets(config, bool(args.quick))
+    print("loaded datasets")
+
+    model = build_mil_model(config)
+    adapter = MILAdapter(
+        model=model,
+        loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+    )
+    settings = TrainSettings(
+        num_epochs=config.num_epochs,
+        task=config.task,
+        num_classes=config.num_classes,
+        target_label=config.target_label,
+        batch_size=config.batch_size,
+        save_dir=save_dir,
+        output_dir=output_dir,
+        seed=args.seed,
+        log_interval=config.log_interval,
+        reference_parity=config.reference_parity,
+    )
+    writer = make_writer(args.log, summary_path, flag, config)
+
+    rng = jax.random.PRNGKey(args.seed)
+    probe = next(
+        datasets["train"].batches(settings.batch_size, **adapter.loader_kwargs)
+    )
+    variables = adapter.init(
+        rng, {k: jnp.asarray(probe[k]) for k in adapter.array_keys}
+    )
+    variables = load_pretrained(variables, config)
+    variables = maybe_restore(
+        variables, config, Checkpointer(), keys=("restore_path", "model_path")
+    )
+
+    ladder = mil_freeze_ladder(config.n_layers_to_train)
+    tx, _ = build_grouped_optimizer(
+        variables["params"],
+        [("train", ladder, torch_adam(float(config["lr"]), config.weight_decay))],
+    )
+
+    train_model(adapter, datasets, tx, settings, variables=variables,
+                writer=writer, rng=rng)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Joint fusion training CLI — end-to-end bimodal Cox training.
+
+Parity with ``5_JointFusion/1_JointFusion_train.py``: ResNet bag encoder ⊕
+RNA MLP → Dropout(0.8) → Linear(4096, 1), three Adam param groups
+``lr_histo`` / ``lr_rna`` / ``lr_mlp`` (``:413-416``) with the ResNet freeze
+ladder applied *inside* the histo group (``:386-401`` — note the joint ladder
+starts at ``resnet.fc``, the ResNet's own classifier head, unlike the
+HistoPath ladder which starts at the MIL head). RNA and fusion head are
+always trainable. Config: ``config_joint_train.json`` verbatim.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multimodalbrainsurvival_tpu.cli._common import (
+    experiment_dirs,
+    load_config,
+    make_parser,
+    make_writer,
+    maybe_restore,
+)
+from multimodalbrainsurvival_tpu.cli.histo_train import load_pretrained
+from multimodalbrainsurvival_tpu.data import PatchBagRNADataset
+from multimodalbrainsurvival_tpu.models import BagHistopathologyRNAModel, RNAEncoder
+from multimodalbrainsurvival_tpu.models.resnet import RESNET_CONSTRUCTORS
+from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
+from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+from multimodalbrainsurvival_tpu.train.optim import (
+    build_grouped_optimizer,
+    path_prefix_match,
+    torch_adam,
+)
+
+JOINT_LADDER = ("resnet/fc", "resnet/layer4", "resnet/layer3",
+                "resnet/layer2", "resnet/layer1", "resnet/conv1")
+
+
+def build_joint_model(config) -> BagHistopathologyRNAModel:
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype)
+    return BagHistopathologyRNAModel(
+        resnet=resnet,
+        rna_encoder=RNAEncoder(hidden_dims=(4096, 2048), dtype=dtype),
+        out_features=config.num_classes,
+    )
+
+
+def build_joint_optimizer(params, config):
+    wd = config.weight_decay
+    histo_specs = JOINT_LADDER[: max(0, config.n_layers_to_train)]
+    groups = [
+        ("histo", path_prefix_match(*histo_specs),
+         torch_adam(float(config["lr_histo"]), wd)),
+        ("rna", path_prefix_match("rna_encoder"),
+         torch_adam(float(config["lr_rna"]), wd)),
+        ("mlp", path_prefix_match("final"),
+         torch_adam(float(config["lr_mlp"]), wd)),
+    ]
+    tx, labels = build_grouped_optimizer(params, groups)
+    return tx
+
+
+def build_joint_datasets(config, quick: bool):
+    max_train = config.get("max_patch_per_wsi_train", 1000)
+    max_val = config.get("max_patch_per_wsi_val", 1000)
+    if quick:
+        max_train = max_val = 20  # 1_JointFusion_train.py:357-359
+    common = dict(
+        patch_data_path=config["data_path"],
+        img_size=config.img_size,
+        keep_remainder=bool(config.get("keep_bag_remainder", False)),
+    )
+    return {
+        "train": PatchBagRNADataset(
+            csv_path=config["train_csv_path"],
+            bag_size=config.get("train_bag_size", 1),
+            max_patches_total=max_train, **common,
+        ),
+        "val": PatchBagRNADataset(
+            csv_path=config["val_csv_path"],
+            bag_size=config.get("val_bag_size", 1),
+            max_patches_total=max_val, **common,
+        ),
+        "test": PatchBagRNADataset(
+            csv_path=config["test_csv_path"],
+            bag_size=config.get("val_bag_size", 1),
+            max_patches_total=max_val, **common,
+        ),
+    }
+
+
+def main(argv=None):
+    args = make_parser(__doc__).parse_args(argv)
+    config, flag, checkpoint_path, summary_path = load_config(args)
+    save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
+
+    datasets = build_joint_datasets(config, bool(args.quick))
+    print("loaded datasets")
+
+    model = build_joint_model(config)
+    adapter = JointAdapter(
+        model=model,
+        loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+    )
+    settings = TrainSettings(
+        num_epochs=config.num_epochs,
+        task=config.task,
+        num_classes=config.num_classes,
+        batch_size=config.batch_size,
+        save_dir=save_dir,
+        output_dir=output_dir,
+        seed=args.seed,
+        log_interval=config.log_interval,
+        reference_parity=config.reference_parity,
+    )
+    writer = make_writer(args.log, summary_path, flag, config)
+
+    rng = jax.random.PRNGKey(args.seed)
+    probe = next(datasets["train"].batches(settings.batch_size,
+                                           **adapter.loader_kwargs))
+    variables = adapter.init(
+        rng, {k: jnp.asarray(probe[k]) for k in adapter.array_keys}
+    )
+    variables = load_pretrained(variables, config)
+    # unimodal warm starts (reference histo_restore_path / rna_restore_path)
+    ckpt = Checkpointer()
+    variables = maybe_restore(variables, config, ckpt,
+                              keys=("restore_path", "model_path"))
+
+    tx = build_joint_optimizer(variables["params"], config)
+    train_model(adapter, datasets, tx, settings, variables=variables,
+                writer=writer, rng=rng)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

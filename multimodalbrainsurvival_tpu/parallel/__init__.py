@@ -1,0 +1,15 @@
+from multimodalbrainsurvival_tpu.parallel.mesh import (
+    make_mesh,
+    batch_device_put,
+)
+from multimodalbrainsurvival_tpu.parallel.sharding import (
+    joint_param_shardings,
+    sharded_attention_bag_mean,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_device_put",
+    "joint_param_shardings",
+    "sharded_attention_bag_mean",
+]

@@ -1,0 +1,69 @@
+"""Device-mesh construction and batch placement.
+
+The reference is strictly single-device (``model.to('cuda:0')``,
+``2_HistoPath_train.py:457,530`` — no DDP/NCCL anywhere; SURVEY.md §2.2).
+Parallelism here is first-class and TPU-native: a ``jax.sharding.Mesh`` with
+two logical axes —
+
+- ``dp``: data parallelism over samples/bags. Gradients are reduced by XLA
+  (psum over ``dp``) and the batch-global Cox risk set is assembled by an
+  XLA all-gather of the (score, time, event) triple inside the loss
+  (``ops/cox.py``).
+- ``mp``: model parallelism. Used as tensor parallelism for the RNA MLP's
+  12778×4096×2048 matmuls (hidden axis sharded) and as the bag/sequence axis
+  for bag-sharded MIL aggregation (``parallel/sharding.py``) — the
+  workload's analog of sequence/context parallelism.
+
+Multi-host: ``jax.distributed.initialize()`` before ``make_mesh`` makes the
+same code span hosts over DCN; in-slice collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: int | None = None, mp: int = 1, *, devices=None
+) -> Mesh:
+    """Build a (dp, mp) mesh; dp defaults to n_devices // mp."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // mp
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {dp * mp} devices, have {n}")
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(grid, ("dp", "mp"))
+
+
+# batch keys whose leading axis is the sample axis
+_BATCH_AXIS_KEYS = {
+    "patch_bag", "bag_mask", "sample_mask", "mask", "data", "rna_data",
+    "feature_data", "survival_months", "vital_status", "survival_bin", "label",
+}
+
+
+def batch_device_put(mesh: Mesh, *, shard_bag: bool = False):
+    """Returns a ``device_put_fn`` for ``TrainSettings``: shards every batch
+    array on ``dp`` along axis 0 (and the bag axis on ``mp`` when
+    ``shard_bag``), replicating anything unknown."""
+
+    def put(arrays: dict) -> dict:
+        out = {}
+        for k, v in arrays.items():
+            if k in _BATCH_AXIS_KEYS:
+                if shard_bag and k in ("patch_bag", "bag_mask") and v.ndim >= 2:
+                    spec = P("dp", "mp")
+                else:
+                    spec = P("dp")
+            else:
+                spec = P()
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        return out
+
+    return put

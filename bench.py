@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+from functools import partial
 import os
 import sys
 import time
@@ -41,10 +42,20 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         train=False,
     )
 
-    @jax.jit
-    def extract(v, patches_u8):
-        x = preprocess_patches(patches_u8, train=False, dtype=jnp.bfloat16)
-        return model.apply(v, x, train=False, method="extract")
+    # All `iters` forward passes run inside ONE jitted call, chained through
+    # an accumulator, with the input perturbed per iteration so XLA cannot
+    # hoist/CSE the network out of the loop. This removes host-dispatch /
+    # tunnel round-trips from the measurement entirely (eager chaining
+    # under-reports; blocking only on the last async dispatch over-reports).
+    @partial(jax.jit, static_argnames=("n",))
+    def extract_n(v, patches_u8, n):
+        def body(i, acc):
+            xi = patches_u8 ^ i.astype(jnp.uint8)
+            x = preprocess_patches(xi, train=False, dtype=jnp.bfloat16)
+            feats = model.apply(v, x, train=False, method="extract")
+            return acc + feats[0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
     best = 0.0
@@ -52,12 +63,9 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         x = jax.device_put(
             rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
         )
-        extract(variables, x).block_until_ready()  # compile
-        extract(variables, x).block_until_ready()  # warm
+        float(extract_n(variables, x, iters))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = extract(variables, x)
-        out.block_until_ready()
+        float(extract_n(variables, x, iters))
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
         print(f"# batch {bs}: {rate:.1f} patches/s", file=sys.stderr)

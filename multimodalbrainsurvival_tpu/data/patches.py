@@ -42,6 +42,25 @@ def _read_patch(path: str, img_size: int) -> np.ndarray:
     return img[:, :, ::-1]  # RGB
 
 
+def _decode_bag(paths: list[str], bag: np.ndarray, img_size: int,
+                use_native: bool) -> None:
+    """Decode ``paths`` into ``bag[:len(paths)]`` (bag_size, H, W, 3) uint8.
+
+    Uses the C++ thread-pool loader (``utils/native.py``) when available;
+    any per-file failure is retried through cv2 so exotic PNG variants and
+    genuinely missing files keep their reference behavior (raise)."""
+    if use_native and paths:
+        from multimodalbrainsurvival_tpu.utils import native
+
+        view = bag[: len(paths)]  # leading slice: stays C-contiguous
+        codes = native.decode_patch_batch(paths, view, num_threads=1)
+        for j in np.nonzero(codes)[0]:
+            bag[j] = _read_patch(paths[j], img_size)
+    else:
+        for j, p in enumerate(paths):
+            bag[j] = _read_patch(p, img_size)
+
+
 class PatchBagDataset:
     """Index of (WSI, bag-offset) chunks over per-slide patch directories."""
 
@@ -55,6 +74,7 @@ class PatchBagDataset:
         *,
         keep_remainder: bool = False,
         seed: int = 0,
+        decoder: str = "auto",
     ):
         self.patch_data_path = patch_data_path
         self.img_size = img_size
@@ -62,6 +82,12 @@ class PatchBagDataset:
         self.max_patches_total = max_patches_total
         self.keep_remainder = keep_remainder
         self._rng = np.random.default_rng(seed)
+        if decoder == "auto":
+            from multimodalbrainsurvival_tpu.utils import native
+
+            self.use_native = native.available()
+        else:
+            self.use_native = decoder == "native"
 
         self.data: dict[str, dict] = {}
         self.index: list[tuple[str, int]] = []
@@ -104,8 +130,7 @@ class PatchBagDataset:
         bag = np.zeros(
             (self.bag_size, self.img_size, self.img_size, 3), np.uint8
         )
-        for j, p in enumerate(paths):
-            bag[j] = _read_patch(p, self.img_size)
+        _decode_bag(paths, bag, self.img_size, self.use_native)
         bag_mask = np.zeros((self.bag_size,), bool)
         bag_mask[: len(paths)] = True
         return {"patch_bag": bag, "bag_mask": bag_mask, **self._labels(entry)}

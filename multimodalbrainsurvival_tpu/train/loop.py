@@ -55,6 +55,13 @@ class TrainSettings:
     eval_splits_during_training: tuple = ("train", "val")
     device_put_fn: Callable | None = None  # parallel/: shard batches onto a mesh
     extra_loader_kwargs: dict = field(default_factory=dict)
+    # NaN guard: the reference drops into pdb on a NaN loss
+    # (1_HistoPathology/models.py:107-109); here a hard error with context.
+    check_numerics: bool = True
+    # profile_steps > 0: capture a jax.profiler trace of that many train
+    # steps (starting after warmup) into <profile_dir>.
+    profile_steps: int = 0
+    profile_dir: str = "/tmp/jax_trace"
 
 
 def make_loss_fn(settings: TrainSettings):
@@ -259,12 +266,24 @@ def train_model(
         ):
             arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
             rng, step_rng = jax.random.split(rng)
+            if settings.profile_steps and step == 5:
+                jax.profiler.start_trace(settings.profile_dir)
             params, new_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, arrays, step_rng
             )
+            if settings.profile_steps and step == 5 + settings.profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                print(f"wrote profiler trace to {settings.profile_dir}")
             if batch_stats is not None:
                 batch_stats = new_stats
             step += 1
+            if settings.check_numerics and not np.isfinite(float(loss)):
+                raise FloatingPointError(
+                    f"non-finite loss {float(loss)} at epoch {epoch} step {step} "
+                    f"(task={settings.task}); check inputs/LR. The reference "
+                    "drops into pdb here (models.py:107-109)."
+                )
             bsz = int(np.asarray(batch[adapter.sample_mask_key]).sum())
             running_loss += float(loss) * bsz
             seen += bsz

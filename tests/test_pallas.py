@@ -1,0 +1,68 @@
+"""Pallas fused dropout-matmul kernel (CPU interpreter mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalbrainsurvival_tpu.ops.pallas import (
+    apply_seeded_dropout,
+    dropout_matmul,
+)
+
+RNG = np.random.default_rng(0)
+X = jnp.asarray(RNG.normal(size=(100, 700)).astype(np.float32))
+W = jnp.asarray(RNG.normal(size=(700, 300)).astype(np.float32))
+
+
+def test_p0_is_exact_matmul():
+    y = dropout_matmul(X, W, 0, 0.0, True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(X @ W), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_mask_consistency_with_regeneration():
+    """Fused result == (regenerated masked x) @ W — the backward-pass contract."""
+    y = dropout_matmul(X, W, 123, 0.5, True)
+    xm = apply_seeded_dropout(X, 123, p_drop=0.5, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(xm @ W), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_keep_fraction_and_scaling():
+    xm = apply_seeded_dropout(jnp.ones((256, 1024)), 9, p_drop=0.5,
+                              interpret=True)
+    kept = np.asarray(xm) != 0
+    assert abs(kept.mean() - 0.5) < 0.02
+    np.testing.assert_allclose(np.asarray(xm)[kept], 2.0, rtol=1e-6)
+
+
+def test_deterministic_and_seed_sensitivity():
+    a = dropout_matmul(X, W, 5, 0.5, True)
+    b = dropout_matmul(X, W, 5, 0.5, True)
+    c = dropout_matmul(X, W, 6, 0.5, True)
+    assert bool(jnp.all(a == b))
+    assert not bool(jnp.all(a == c))
+
+
+def test_custom_vjp_grads():
+    def loss(x, w):
+        return dropout_matmul(x, w, 7, 0.5, True).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(X, W)
+    g = jnp.ones((X.shape[0], W.shape[1]))
+    xm = apply_seeded_dropout(X, 7, p_drop=0.5, interpret=True)
+    gx_want = apply_seeded_dropout(g @ W.T, 7, p_drop=0.5, interpret=True)
+    gw_want = xm.T @ g
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_want), rtol=1e-5)
+
+
+def test_unaligned_shapes_padded_correctly():
+    x = jnp.asarray(RNG.normal(size=(7, 130)).astype(np.float32))
+    w = jnp.asarray(RNG.normal(size=(130, 17)).astype(np.float32))
+    y = dropout_matmul(x, w, 0, 0.0, True)
+    assert y.shape == (7, 17)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w), rtol=1e-4,
+                               atol=1e-3)

@@ -29,6 +29,8 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                    help="0 = do not use a summary writer")
     p.add_argument("--seed", type=int, default=1111,
                    help="seed for the random number generator")
+    p.add_argument("--save_images", type=int, default=0,
+                   help="accepted for reference CLI parity (unused)")
     return p
 
 

@@ -136,6 +136,7 @@ def main(argv=None):
         seed=args.seed,
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
+        resume=bool(config.get("resume", False)),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

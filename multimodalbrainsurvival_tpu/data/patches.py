@@ -219,6 +219,47 @@ class PatchBagDataset:
         t.join()
 
 
+class PatchRNADataset(PatchBagDataset):
+    """Per-patch joint dataset: ONE item per patch + the case's RNA vector.
+
+    The reference's version is unusable (``patch_folder`` undefined at
+    ``5_JointFusion/datasets.py:182`` — SURVEY.md §2.4); this is the working
+    equivalent, feeding ``PatchHistopathologyRNAModel``. Implemented as a
+    bag_size=1 index so the whole loader stack is shared; batches expose
+    ``patch`` (B, H, W, 3) alongside ``rna_data``.
+    """
+
+    def __init__(self, patch_data_path: str, csv_path: str, **kw):
+        kw.pop("bag_size", None)
+        super().__init__(patch_data_path, csv_path, bag_size=1,
+                         keep_remainder=True, **kw)
+        df = pd.read_csv(csv_path)
+        df.columns = [c.lstrip("﻿") for c in df.columns]
+        rna_cols = [c for c in df.columns if "rna_" in c]
+        if not rna_cols:
+            raise ValueError(f"No 'rna_' columns in {csv_path}")
+        rna = df[rna_cols].to_numpy(np.float32)
+        for i, (_, row) in enumerate(df.iterrows()):
+            wsi = str(row["wsi_file_name"]).split(".")[0]
+            self.data[wsi]["rna_data"] = rna[i]
+        self.rna_dim = rna.shape[1]
+
+    def _load_bag(self, item_idx: int) -> dict:
+        out = super()._load_bag(item_idx)
+        wsi, _ = self.index[item_idx]
+        out["rna_data"] = self.data[wsi]["rna_data"]
+        return out
+
+    def _assemble(self, items: list[dict], batch_size: int) -> dict:
+        rna = np.zeros((batch_size, self.rna_dim), np.float32)
+        for i, it in enumerate(items):
+            rna[i] = it.pop("rna_data")
+        batch = super()._assemble(items, batch_size)
+        batch["rna_data"] = rna
+        batch["patch"] = batch["patch_bag"][:, 0]
+        return batch
+
+
 class PatchBagRNADataset(PatchBagDataset):
     """Bag index + per-case RNA vector (``5_JointFusion/datasets.py:62-126``)."""
 

@@ -62,6 +62,11 @@ class TrainSettings:
     # steps (starting after warmup) into <profile_dir>.
     profile_steps: int = 0
     profile_dir: str = "/tmp/jax_trace"
+    # resume=True restores the FULL train state (params + optimizer moments +
+    # epoch/step/best-val bookkeeping) from <save_dir>/train_state and
+    # continues — an upgrade over the reference, which only persists model
+    # weights (2_HistoPath_train.py:378-383; SURVEY.md §5).
+    resume: bool = False
 
 
 def make_loss_fn(settings: TrainSettings):
@@ -249,7 +254,45 @@ def train_model(
     best_val_loss = np.inf
     best_epoch = -1
     step = 0
-    for epoch in range(settings.num_epochs):
+    start_epoch = 0
+
+    def _full_state():
+        return {
+            "params": params,
+            "batch_stats": batch_stats if batch_stats is not None else {},
+            "opt_state": opt_state,
+            "meta": {
+                "epoch": jnp.int32(epoch),
+                "step": jnp.int32(step),
+                "best_val_loss": jnp.float32(
+                    best_val_loss if np.isfinite(best_val_loss) else 1e30
+                ),
+                "best_epoch": jnp.int32(best_epoch),
+            },
+        }
+
+    state_path = (
+        os.path.join(settings.save_dir, "train_state")
+        if settings.save_dir
+        else None
+    )
+    if settings.resume and state_path and Checkpointer.exists(state_path):
+        epoch = 0
+        restored = ckpt.restore(state_path, _full_state())
+        params = restored["params"]
+        if batch_stats is not None:
+            batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        start_epoch = int(restored["meta"]["epoch"]) + 1
+        step = int(restored["meta"]["step"])
+        best_val_loss = float(restored["meta"]["best_val_loss"])
+        best_epoch = int(restored["meta"]["best_epoch"])
+        print(
+            f"Resumed full train state from {state_path}: epoch {start_epoch}, "
+            f"step {step}, best_val_loss {best_val_loss:.4f}"
+        )
+
+    for epoch in range(start_epoch, settings.num_epochs):
         print(f"Epoch {epoch}/{settings.num_epochs - 1}")
         print("-" * 10)
         if hasattr(datasets["train"], "shuffle"):
@@ -326,7 +369,13 @@ def train_model(
                             os.path.join(settings.save_dir, "model_dict_best"),
                             variables,
                         )
+        if ckpt is not None:
+            ckpt.save(state_path, _full_state())
 
+    epoch = settings.num_epochs - 1
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
     if ckpt is not None:
         ckpt.save(os.path.join(settings.save_dir, "model_last"), variables)
 

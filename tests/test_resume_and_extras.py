@@ -1,0 +1,108 @@
+"""Train-state resume, per-patch joint dataset, gene vocabulary."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+
+
+def test_full_train_state_resume(tmp_path):
+    """Interrupt training, resume from the full state (params + opt moments +
+    epoch/step), and confirm it continues instead of restarting."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(16)], n_rna=8)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+    save_dir = str(tmp_path / "ckpt")
+
+    def make():
+        return TableAdapter(
+            model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8)))
+        )
+
+    s1 = TrainSettings(num_epochs=2, batch_size=8, save_dir=save_dir,
+                       eval_splits_during_training=("val",))
+    v_last, _, _ = train_model(make(), {"train": ds, "val": ds},
+                               optax.adam(1e-3), s1)
+    assert os.path.isdir(os.path.join(save_dir, "train_state"))
+
+    # resume with a HIGHER epoch budget: must start at epoch 2, not 0
+    s2 = TrainSettings(num_epochs=4, batch_size=8, save_dir=save_dir,
+                       eval_splits_during_training=("val",), resume=True)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        v2, _, _ = train_model(make(), {"train": ds, "val": ds},
+                               optax.adam(1e-3), s2)
+    out = buf.getvalue()
+    assert "Resumed full train state" in out
+    assert "Epoch 2/3" in out and "Epoch 0/3" not in out
+    # params actually moved further
+    a = jax.tree.leaves(v_last["params"])[0]
+    b = jax.tree.leaves(v2["params"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_patch_rna_dataset(tmp_path):
+    from multimodalbrainsurvival_tpu.data.patches import PatchRNADataset
+
+    root = tmp_path / "patches"
+    make_patch_dir(str(root), "W1", 5)
+    csv = tmp_path / "joint.csv"
+    make_survival_csv(str(csv), ["c1"], wsi_names=["W1.svs"], n_rna=6)
+    ds = PatchRNADataset(str(root), str(csv), img_size=32)
+    assert len(ds) == 5  # one item per patch
+    b = next(ds.batches(3, num_threads=1))
+    assert b["patch"].shape == (3, 32, 32, 3)
+    assert b["rna_data"].shape == (3, 6)
+    assert b["sample_mask"].all()
+
+
+def test_gene_vocabulary(tmp_path):
+    import pandas as pd
+
+    from multimodalbrainsurvival_tpu.data.genes import GeneVocabulary
+
+    path = tmp_path / "genes.txt"
+    path.write_text("symbol\nTSPAN6\nTNMD\nDPM1\n")
+    vocab = GeneVocabulary.from_file(str(path))
+    assert len(vocab) == 3
+    assert "TNMD" in vocab and "NOPE" not in vocab
+    with pytest.raises(ValueError):
+        vocab.validate_width(2)
+    vocab.validate_width(3)
+
+    frame = pd.DataFrame(
+        {"expr_DPM1": [1.0], "expr_TSPAN6": [2.0], "expr_TNMD": [3.0]}
+    )
+    mat = vocab.reorder(
+        frame, lambda c: c[5:] if c.startswith("expr_") else None
+    )
+    np.testing.assert_array_equal(mat, [[2.0, 3.0, 1.0]])
+
+
+@pytest.mark.skipif(
+    not os.path.isfile("/root/reference/2_GeneExpression/genes.txt"),
+    reason="reference genes.txt not mounted",
+)
+def test_gene_vocabulary_reads_reference_file():
+    from multimodalbrainsurvival_tpu.data.genes import (
+        REFERENCE_GENES_TXT,
+        GeneVocabulary,
+    )
+
+    vocab = GeneVocabulary.from_file(REFERENCE_GENES_TXT)
+    assert len(vocab) == 12778  # SURVEY.md §2.1 #24
+    assert vocab.symbols[0] == "TSPAN6"

@@ -151,7 +151,10 @@ def evaluate(
         outputs.append(np.asarray(out)[mask])
         for k, v in _collect_ids(batch, mask, adapter.id_keys).items():
             ids[k].extend(v)
-        for k in set(loss_keys) | {settings.target_label}:
+        for k in (
+            set(loss_keys)
+            | {settings.target_label, "survival_months", "vital_status"}
+        ):
             if k in batch:
                 labels.setdefault(k, []).extend(np.asarray(batch[k])[mask].tolist())
 

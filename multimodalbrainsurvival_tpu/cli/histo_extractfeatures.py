@@ -28,16 +28,30 @@ from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
 
 def extract_split(adapter, variables, dataset, batch_size):
+    """Streaming extract with lag-1 result fetch: host decode (producer
+    thread), device compute (async dispatch) and D2H transfer of the previous
+    batch all overlap."""
     extract = jax.jit(adapter.extract)
     feats, cases, wsis = [], [], []
+    pending = None
+
+    def drain(p):
+        out, mask, batch_cases, batch_wsis = p
+        out = np.asarray(out)[mask]
+        feats.append(out)
+        cases.extend([c for c, m in zip(batch_cases, mask) if m])
+        wsis.extend([w for w, m in zip(batch_wsis, mask) if m])
+
     for batch in dataset.batches(batch_size, shuffle=False,
                                  **adapter.loader_kwargs):
         arrays = {k: jnp.asarray(batch[k]) for k in adapter.array_keys}
-        out = np.asarray(extract(variables, arrays))
-        mask = np.asarray(batch[adapter.sample_mask_key])
-        feats.append(out[mask])
-        cases.extend([c for c, m in zip(batch["case"], mask) if m])
-        wsis.extend([w for w, m in zip(batch["WSI"], mask) if m])
+        out = extract(variables, arrays)  # async dispatch
+        if pending is not None:
+            drain(pending)
+        pending = (out, np.asarray(batch[adapter.sample_mask_key]),
+                   batch["case"], batch["WSI"])
+    if pending is not None:
+        drain(pending)
     return cases, wsis, np.concatenate(feats, axis=0)
 
 

@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--dezoom_factor", type=float, default=1.0)
     p.add_argument("--ext", type=str, default="svs",
                    help="slide file extension to glob (svs, png, tif, ...)")
+    p.add_argument("--pack", type=int, default=0,
+                   help="also write zero-decode patches.npy shards")
     a = p.parse_args(argv)
 
     slides = sorted(glob.glob(os.path.join(a.wsi_path, f"*.{a.ext}")))
@@ -37,6 +39,7 @@ def main(argv=None):
         patch_size=a.patch_size,
         max_patches_per_slide=a.max_patches_per_slide,
         dezoom_factor=a.dezoom_factor,
+        pack=bool(a.pack),
     )
     counts = tile_slides(slides, a.patch_path, a.mask_path, cfg,
                          num_processes=a.num_process)

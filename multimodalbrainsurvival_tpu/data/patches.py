@@ -75,6 +75,7 @@ class PatchBagDataset:
         keep_remainder: bool = False,
         seed: int = 0,
         decoder: str = "auto",
+        prefer_packed: bool = True,
     ):
         self.patch_data_path = patch_data_path
         self.img_size = img_size
@@ -101,12 +102,28 @@ class PatchBagDataset:
             with open(loc) as f:
                 n_patches = sum(1 for _ in f) - 2
             n_patches = min(n_patches, max_patches_total)
-            images = [
-                os.path.join(patch_data_path, wsi, f"{wsi}_patch_{i}.png")
-                for i in range(n_patches)
-            ]
+            # packed shard (patches.npy from the tiler/pack_patches): bags
+            # become index lists into a zero-decode uint8 mmap
+            packed = os.path.join(patch_data_path, wsi, "patches.npy")
+            if prefer_packed and os.path.isfile(packed) and os.path.getmtime(
+                packed
+            ) >= os.path.getmtime(loc):
+                images: list = list(range(n_patches))
+            else:
+                packed = None
+                images = [
+                    os.path.join(patch_data_path, wsi, f"{wsi}_patch_{i}.png")
+                    for i in range(n_patches)
+                ]
             entry = {k.lower(): v for k, v in row.items()}
-            entry.update({"WSI": wsi, "images": images, "n_images": len(images)})
+            entry.update(
+                {
+                    "WSI": wsi,
+                    "images": images,
+                    "n_images": len(images),
+                    "packed_path": packed,
+                }
+            )
             self.data[wsi] = entry
             n_bags = len(images) // bag_size
             for k in range(n_bags):
@@ -126,13 +143,28 @@ class PatchBagDataset:
     def _load_bag(self, item_idx: int) -> dict:
         wsi, off = self.index[item_idx]
         entry = self.data[wsi]
-        paths = entry["images"][off : off + self.bag_size]
+        items = entry["images"][off : off + self.bag_size]
         bag = np.zeros(
             (self.bag_size, self.img_size, self.img_size, 3), np.uint8
         )
-        _decode_bag(paths, bag, self.img_size, self.use_native)
+        if entry.get("packed_path"):
+            shard = entry.get("_mmap")
+            if shard is None:
+                shard = np.load(entry["packed_path"], mmap_mode="r")
+                entry["_mmap"] = shard
+            rows = np.asarray(shard[np.asarray(items, np.intp)])
+            if rows.shape[1] != self.img_size:
+                for j, r in enumerate(rows):
+                    bag[j] = cv2.resize(
+                        r, (self.img_size, self.img_size),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
+            else:
+                bag[: len(items)] = rows
+        else:
+            _decode_bag(items, bag, self.img_size, self.use_native)
         bag_mask = np.zeros((self.bag_size,), bool)
-        bag_mask[: len(paths)] = True
+        bag_mask[: len(items)] = True
         return {"patch_bag": bag, "bag_mask": bag_mask, **self._labels(entry)}
 
     @staticmethod

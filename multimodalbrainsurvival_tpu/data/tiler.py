@@ -149,6 +149,36 @@ class TileConfig:
     background_threshold: float = 0.2
     rgb_min: int = 50
     seed: int = 5  # the reference's fixed shuffle seed (1_WSI2Patches.py:105)
+    # also write <slide>/patches.npy — a packed (N, P, P, 3) uint8 shard the
+    # loader mmaps with ZERO per-patch decode (additive artifact alongside
+    # the reference PNG contract; SURVEY.md §7 "host input pipeline")
+    pack: bool = False
+
+
+def pack_patch_dir(patch_dir: str) -> int:
+    """Repack an existing per-slide PNG patch directory into patches.npy.
+
+    Returns the number of patches packed. Idempotent: skips when the shard
+    is newer than loc.txt."""
+    loc = os.path.join(patch_dir, "loc.txt")
+    out = os.path.join(patch_dir, "patches.npy")
+    with open(loc) as f:
+        n = sum(1 for _ in f) - 2
+    if n <= 0:
+        return 0
+    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(loc):
+        return n
+    slide_id = os.path.basename(os.path.normpath(patch_dir))
+    first = cv2.imread(os.path.join(patch_dir, f"{slide_id}_patch_0.png"))
+    P = first.shape[0]
+    packed = np.zeros((n, P, P, 3), np.uint8)
+    packed[0] = first[:, :, ::-1]
+    for i in range(1, n):
+        packed[i] = cv2.imread(
+            os.path.join(patch_dir, f"{slide_id}_patch_{i}.png")
+        )[:, :, ::-1]
+    np.save(out, packed)
+    return n
 
 
 def extract_patches(
@@ -229,6 +259,8 @@ def extract_patches(
                 break
     if i == 0:
         print(f"no patch extracted for slide {slide_id}")
+    elif config.pack:
+        pack_patch_dir(patch_dir)
     return i
 
 

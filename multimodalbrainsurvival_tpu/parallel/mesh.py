@@ -26,6 +26,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host entry: call once per host process before ``make_mesh``.
+
+    Thin wrapper over ``jax.distributed.initialize`` so the same mesh/sharding
+    code spans hosts (collectives ride ICI within a slice, DCN across). On a
+    single-host container this is a no-op if coordination env vars are absent.
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     dp: int | None = None, mp: int = 1, *, devices=None
 ) -> Mesh:

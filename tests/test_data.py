@@ -170,6 +170,35 @@ def test_patch_bag_rna(tmp_path):
     assert np.abs(b["rna_data"][:2]).sum() > 0
 
 
+def test_packed_shard_path(patch_root):
+    """pack_patch_dir → dataset auto-uses the mmap shard, bytes identical."""
+    import os as _os
+
+    from multimodalbrainsurvival_tpu.data.tiler import pack_patch_dir
+
+    root, csv = patch_root
+    ds_png = PatchBagDataset(root, csv, img_size=32, bag_size=2,
+                             prefer_packed=False)
+    for w in ("W1", "W2"):
+        n = pack_patch_dir(_os.path.join(root, w))
+        assert _os.path.isfile(_os.path.join(root, w, "patches.npy"))
+        assert n > 0
+    ds_packed = PatchBagDataset(root, csv, img_size=32, bag_size=2)
+    assert ds_packed.data["W1"]["packed_path"] is not None
+    a = next(ds_png.batches(4, num_threads=1))
+    b = next(ds_packed.batches(4, num_threads=1))
+    np.testing.assert_array_equal(a["patch_bag"], b["patch_bag"])
+    # resize path from packed rows
+    ds_rs = PatchBagDataset(root, csv, img_size=24, bag_size=2)
+    r = next(ds_rs.batches(2, num_threads=1))
+    assert r["patch_bag"].shape == (2, 2, 24, 24, 3)
+    # shuffle still permutes (indices now)
+    ds_packed.shuffle()
+    assert sorted(ds_packed.data["W1"]["images"]) == list(
+        range(ds_packed.data["W1"]["n_images"])
+    )
+
+
 def test_patch_bag_corrupt_png_raises_not_hangs(patch_root):
     """A decode failure in the producer thread must propagate, not deadlock."""
     root, csv = patch_root

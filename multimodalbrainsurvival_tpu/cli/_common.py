@@ -86,6 +86,23 @@ def maybe_restore(variables, config: Config, ckpt, keys=("restore_path", "model_
     return variables
 
 
+def make_device_put(config: Config):
+    """``mesh: {"dp": N, "mp": M}`` in the config shards every batch over a
+    device mesh (``parallel/``); absent or dp*mp == 1 → single-device (None).
+    """
+    spec = config.get("mesh")
+    if not spec:
+        return None
+    dp = int(spec.get("dp", 0)) or None
+    mp = int(spec.get("mp", 1))
+    shard_bag = bool(spec.get("shard_bag", False))
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put, make_mesh
+
+    mesh = make_mesh(dp=dp, mp=mp)
+    print(f"training over mesh {dict(mesh.shape)}")
+    return batch_device_put(mesh, shard_bag=shard_bag)
+
+
 def extract_features_frames(cases: list[str], feats: np.ndarray):
     """Per-case mean feature aggregation (``4_HistoPath_extractfeatures.py:80-88``)."""
     import pandas as pd

@@ -15,6 +15,7 @@ import jax
 from multimodalbrainsurvival_tpu.cli._common import (
     experiment_dirs,
     load_config,
+    make_device_put,
     make_parser,
     make_writer,
     maybe_restore,
@@ -70,6 +71,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        device_put_fn=make_device_put(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

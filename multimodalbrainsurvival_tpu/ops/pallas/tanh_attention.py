@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: fused gated tanh-attention bag pooling.
+
+Computes the whole MIL aggregation for the ``attention`` aggregator in one
+kernel pass per sample:
+
+    logits_t = tanh(x_t W) · v          (bag × D×D matmul on the MXU)
+    w = softmax_bag(masked logits)
+    out = Σ_t w_t x_t                   (attention-weighted bag mean)
+
+— i.e. exactly ``TanhAttention`` followed by ``masked_bag_mean``
+(``models/aggregators.py`` / ``models/mil.py``; reference semantics at
+``1_HistoPathology/models.py:22-33`` + ``:56``). Stock XLA materializes the
+(B, bag, D) projection, the tanh, and the rescaled (B, bag, D) product in
+HBM; here the per-sample patch block ``x_i`` stays resident in VMEM while W
+streams through in column tiles: one HBM read of x per sample, logits
+accumulated in scratch, softmax + weighted sum computed in the final tile
+step.
+
+Grid ``(B, D/BJ)``: sample-major, projection-column tiles inner. The bag axis
+is padded to a multiple of 8 (masked), D to a multiple of 128 (zero-padded —
+zero columns contribute tanh(0)·v = 0).
+
+Forward/serving kernel (the extractfeatures path); training uses the stock
+module composition (same math, autodiff-friendly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BJ = 256  # projection-column tile
+
+
+def _kernel(x_ref, w_ref, v_ref, mask_ref, out_ref, attn_ref, logits):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    x = x_ref[0]  # (bag, D)
+    h = jnp.tanh(
+        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+    )  # (bag, BJ)
+    part = h @ v_ref[0][:, None]  # (bag, 1)
+
+    @pl.when(j == 0)
+    def _():
+        logits[...] = jnp.zeros_like(logits)
+
+    logits[...] += part.T  # (1, bag)
+
+    @pl.when(j == nj - 1)
+    def _():
+        m = mask_ref[...]  # (1, bag) bool
+        l = jnp.where(m, logits[...], -1e30)
+        lmax = jnp.max(l, axis=1, keepdims=True)
+        e = jnp.where(m, jnp.exp(l - lmax), 0.0)  # (1, bag)
+        denom = jnp.maximum(jnp.sum(e), 1e-30)
+        weights = e / denom
+        attn_ref[...] = weights
+        out_ref[...] = jnp.dot(
+            weights, x.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # (1, D)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_gated_attention_pool(
+    x: jax.Array,
+    W: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    interpret: bool | None = None,
+):
+    """(B, bag, D), (D, D), (D,), (B, bag) → ((B, D) pooled, (B, bag) weights)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, bag, D = x.shape
+    if mask is None:
+        mask = jnp.ones((B, bag), bool)
+
+    pad_bag = (-bag) % 8
+    pad_d = (-D) % 128
+    if pad_bag or pad_d:
+        x = jnp.pad(x, ((0, 0), (0, pad_bag), (0, pad_d)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_bag)))
+        W = jnp.pad(W, ((0, pad_d), (0, pad_d)))
+        v = jnp.pad(v, ((0, pad_d),))
+    bag_p, D_p = bag + pad_bag, D + pad_d
+    nj = D_p // BJ if D_p % BJ == 0 else -(-D_p // BJ)
+    # pad D_p up to a BJ multiple for clean tiling
+    pad_j = nj * BJ - D_p
+    if pad_j:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_j)))
+        W = jnp.pad(W, ((0, pad_j), (0, pad_j)))
+        v = jnp.pad(v, ((0, pad_j),))
+        D_p += pad_j
+
+    out, attn = pl.pallas_call(
+        _kernel,
+        grid=(B, D_p // BJ),
+        in_specs=[
+            pl.BlockSpec((1, bag_p, D_p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((D_p, BJ), lambda i, j: (0, j)),
+            pl.BlockSpec((1, BJ), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bag_p), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, bag_p), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, bag_p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, bag_p), jnp.float32)],
+        interpret=interpret,
+    )(x, W, v.reshape(1, -1), mask)
+    return out[:, :D], attn[:, :bag]

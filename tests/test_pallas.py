@@ -59,6 +59,40 @@ def test_custom_vjp_grads():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_want), rtol=1e-5)
 
 
+def test_fused_attention_pool_matches_module_composition():
+    """fused kernel == TanhAttention + masked_bag_mean on ragged shapes."""
+    from multimodalbrainsurvival_tpu.models.aggregators import TanhAttention
+    from multimodalbrainsurvival_tpu.models.mil import masked_bag_mean
+    from multimodalbrainsurvival_tpu.ops.pallas import fused_gated_attention_pool
+
+    rng = np.random.default_rng(3)
+    B, bag, D = 3, 13, 300  # deliberately unaligned
+    x = jnp.asarray(rng.normal(size=(B, bag, D)).astype(np.float32))
+    Wm = jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(B, bag)) < 0.7).at[:, 0].set(True)
+
+    agg = TanhAttention(dim=D)
+    variables = {"params": {"vector": v, "linear": {"kernel": Wm}}}
+    o_ref, w_ref = agg.apply(variables, x, mask=mask)
+    want = masked_bag_mean(o_ref, mask)
+    got, attn = fused_gated_attention_pool(x, Wm, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(w_ref), atol=1e-5)
+
+
+def test_fused_attention_pool_no_mask():
+    from multimodalbrainsurvival_tpu.ops.pallas import fused_gated_attention_pool
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 8, 128)).astype(np.float32))
+    Wm = jnp.asarray((rng.normal(size=(128, 128)) * 0.1).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    out, attn = fused_gated_attention_pool(x, Wm, v)
+    np.testing.assert_allclose(np.asarray(attn).sum(1), 1.0, rtol=1e-5)
+    assert out.shape == (2, 128)
+
+
 def test_unaligned_shapes_padded_correctly():
     x = jnp.asarray(RNG.normal(size=(7, 130)).astype(np.float32))
     w = jnp.asarray(RNG.normal(size=(130, 17)).astype(np.float32))

@@ -77,6 +77,35 @@ def test_tp_sharded_rna_forward_matches_replicated():
                                atol=1e-6)
 
 
+def test_mesh_config_drives_cli_training(tmp_path):
+    """`mesh: {"dp": 8}` in a reference-schema config shards CLI training."""
+    import json
+
+    from tests.helpers import make_survival_csv
+
+    from multimodalbrainsurvival_tpu.cli import rna_train
+
+    for split in ("train", "val", "test"):
+        make_survival_csv(str(tmp_path / f"rna_{split}.csv"),
+                          [f"{split}{i}" for i in range(16)], n_rna=8)
+    cfg = {
+        "batch_size": 16, "use_cuda": False,
+        "train_csv_path": str(tmp_path / "rna_train.csv"),
+        "val_csv_path": str(tmp_path / "rna_val.csv"),
+        "test_csv_path": str(tmp_path / "rna_test.csv"),
+        "num_workers": 1, "num_epochs": 1, "lr_rna": 1e-4, "lr_mlp": 1e-4,
+        "weight_decay": 0.0, "flag": "rna_dp",
+        "checkpoint_path": str(tmp_path / "out") + "/",
+        "summary_path": str(tmp_path / "out/s") + "/",
+        "restore_path": "", "model_path": "",
+        "mesh": {"dp": 8},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    rna_train.main(["--config", str(p)])
+    assert (tmp_path / "out/models/rna_dp/model_last").is_dir()
+
+
 def test_dp_training_step_matches_single_device():
     """Cox loss + grads, replicated vs dp-sharded batch → identical up to
     fp32 cross-device reduction order.

@@ -31,7 +31,10 @@ def extract_split(adapter, variables, dataset, batch_size):
     """Streaming extract with lag-1 result fetch: host decode (producer
     thread), device compute (async dispatch) and D2H transfer of the previous
     batch all overlap."""
-    extract = jax.jit(adapter.extract)
+    extract = getattr(adapter, "_extract_jit", None)
+    if extract is None:
+        extract = jax.jit(adapter.extract)
+        adapter._extract_jit = extract
     feats, cases, wsis = [], [], []
     pending = None
 

@@ -26,7 +26,10 @@ from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
 
 def extract_split(adapter, variables, dataset, batch_size):
-    extract = jax.jit(adapter.extract)
+    extract = getattr(adapter, "_extract_jit", None)
+    if extract is None:
+        extract = jax.jit(adapter.extract)
+        adapter._extract_jit = extract
     feats, cases = [], []
     for batch in dataset.batches(batch_size, shuffle=False,
                                  **adapter.loader_kwargs):

@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # block sizes shared by the matmul and mask-regeneration kernels — the mask
 # determinism contract depends on these being identical everywhere.
-BM, BN, BK = 128, 128, 512
+# Large BN/BK cut the number of N-tiles (the mask is regenerated and the x
+# block re-read once per N-tile) — measured 1.5x faster than 128/512 tiles.
+BM, BN, BK = 128, 512, 2048
 
 
 def _keep_threshold(p_drop: float) -> int:

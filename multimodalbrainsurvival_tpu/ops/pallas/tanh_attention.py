@@ -37,14 +37,22 @@ BJ = 256  # projection-column tile
 
 
 def _kernel(x_ref, w_ref, v_ref, mask_ref, out_ref, attn_ref, logits):
+    # x_ref (1, bag, D); mask_ref (1, 1, bag); out_ref (1, 1, D);
+    # attn_ref (1, 1, bag); logits scratch (1, bag). 3-D single-row blocks
+    # keep the trailing two dims equal to full array dims (TPU block rule).
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     x = x_ref[0]  # (bag, D)
+    # attention logits are softmax-amplified, so the projection runs at full
+    # f32 MXU precision (TPU default bf16-multiply perturbs pooled outputs by
+    # ~1e-2 — measured against a float64 golden; XLA has the same issue at
+    # default precision)
     h = jnp.tanh(
-        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     )  # (bag, BJ)
-    part = h @ v_ref[0][:, None]  # (bag, 1)
+    part = h @ v_ref[...].T  # (bag, 1)
 
     @pl.when(j == 0)
     def _():
@@ -54,16 +62,17 @@ def _kernel(x_ref, w_ref, v_ref, mask_ref, out_ref, attn_ref, logits):
 
     @pl.when(j == nj - 1)
     def _():
-        m = mask_ref[...]  # (1, bag) bool
+        m = mask_ref[0]  # (1, bag) bool
         l = jnp.where(m, logits[...], -1e30)
         lmax = jnp.max(l, axis=1, keepdims=True)
         e = jnp.where(m, jnp.exp(l - lmax), 0.0)  # (1, bag)
         denom = jnp.maximum(jnp.sum(e), 1e-30)
         weights = e / denom
-        attn_ref[...] = weights
-        out_ref[...] = jnp.dot(
+        attn_ref[0] = weights
+        out_ref[0] = jnp.dot(
             weights, x.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (1, D)
 
 
@@ -107,17 +116,17 @@ def fused_gated_attention_pool(
             pl.BlockSpec((1, bag_p, D_p), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((D_p, BJ), lambda i, j: (0, j)),
             pl.BlockSpec((1, BJ), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bag_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, bag_p), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, D_p), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, bag_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, D_p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, bag_p), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D_p), jnp.float32),
-            jax.ShapeDtypeStruct((B, bag_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, D_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, bag_p), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, bag_p), jnp.float32)],
         interpret=interpret,
-    )(x, W, v.reshape(1, -1), mask)
-    return out[:, :D], attn[:, :bag]
+    )(x, W, v.reshape(1, -1), mask[:, None, :])
+    return out[:, 0, :D], attn[:, 0, :bag]

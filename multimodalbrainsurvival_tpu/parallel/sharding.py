@@ -20,7 +20,7 @@ Two pieces:
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ takes different inputs (``patch_bag`` vs ``rna_data`` vs ``feature_data`` vs
 both — SURVEY.md §2.3). Here a single generic loop (``train/loop.py``) drives
 any model through an adapter that knows (a) which batch keys are device
 arrays, (b) how to apply the model in train/eval mode, and (c) how to extract
-embeddings. MIL adapters also run the on-device augmentation pipeline
+embeddings. Patch adapters also run the on-device augmentation pipeline
 (``ops/image.py``) inside the jitted step.
 
 Adapter contract::
@@ -21,15 +21,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
-
-
-def _split_variables(variables):
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats")
-    return params, batch_stats
 
 
 def _join_variables(params, batch_stats):
@@ -72,8 +65,9 @@ class TableAdapter:
 
 
 @dataclass
-class MILAdapter:
-    """Patch-bag models (AggregationModel / AggregationProjectModel)."""
+class _PatchAdapterBase:
+    """Shared machinery for patch-bag adapters: on-device augmentation,
+    train/eval rng routing, and mutable-BN application."""
 
     model: Any
     augment: bool = True
@@ -88,61 +82,14 @@ class MILAdapter:
             arrays["patch_bag"], train=do_aug, key=rng if do_aug else None
         )
 
-    def init(self, rng, arrays):
-        x = self._preprocess(arrays, False, None)
-        return self.model.init(rng, x, mask=arrays["bag_mask"], train=False)
-
-    def apply(self, variables, arrays, *, train: bool, rng=None):
-        if train and rng is not None:
-            rng_img, rng_drop = jax.random.split(rng)
-        else:
-            rng_img = rng_drop = rng
-        x = self._preprocess(arrays, train, rng_img)
-        params, batch_stats = _split_variables(variables)
-        if train and batch_stats is not None:
-            (out, _attn), updates = self.model.apply(
-                _join_variables(params, batch_stats),
-                x,
-                mask=arrays["bag_mask"],
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng_drop},
-            )
-            return out, updates["batch_stats"]
-        out, _attn = self.model.apply(
-            variables, x, mask=arrays["bag_mask"], train=False
-        )
-        return out, None
-
-    def extract(self, variables, arrays):
-        x = self._preprocess(arrays, False, None)
-        feats, _attn = self.model.apply(
-            variables, x, mask=arrays["bag_mask"], train=False, method="extract"
-        )
-        return feats
-
-
-@dataclass
-class JointAdapter:
-    """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
-
-    model: Any
-    augment: bool = True
-    sample_mask_key: str = "sample_mask"
-    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
-    id_keys: tuple = ("WSI", "case")
-    loader_kwargs: dict = field(default_factory=dict)
-
-    def _preprocess(self, arrays, train, rng):
-        do_aug = train and self.augment
-        return preprocess_patches(
-            arrays["patch_bag"], train=do_aug, key=rng if do_aug else None
-        )
+    def _model_inputs(self, x, arrays) -> tuple:
+        return (x,)
 
     def init(self, rng, arrays):
         x = self._preprocess(arrays, False, None)
         return self.model.init(
-            rng, x, arrays["rna_data"], mask=arrays["bag_mask"], train=False
+            rng, *self._model_inputs(x, arrays), mask=arrays["bag_mask"],
+            train=False,
         )
 
     def apply(self, variables, arrays, *, train: bool, rng=None):
@@ -151,30 +98,47 @@ class JointAdapter:
         else:
             rng_img = rng_drop = rng
         x = self._preprocess(arrays, train, rng_img)
-        params, batch_stats = _split_variables(variables)
+        inputs = self._model_inputs(x, arrays)
+        batch_stats = variables.get("batch_stats")
         if train and batch_stats is not None:
             out, updates = self.model.apply(
-                _join_variables(params, batch_stats),
-                x,
-                arrays["rna_data"],
+                _join_variables(variables["params"], batch_stats),
+                *inputs,
                 mask=arrays["bag_mask"],
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng_drop},
             )
-            return out, updates["batch_stats"]
+            return self._unwrap(out), updates["batch_stats"]
         out = self.model.apply(
-            variables, x, arrays["rna_data"], mask=arrays["bag_mask"], train=False
+            variables, *inputs, mask=arrays["bag_mask"], train=False
         )
-        return out, None
+        return self._unwrap(out), None
 
     def extract(self, variables, arrays):
         x = self._preprocess(arrays, False, None)
-        return self.model.apply(
-            variables,
-            x,
-            arrays["rna_data"],
-            mask=arrays["bag_mask"],
-            train=False,
-            method="extract",
+        out = self.model.apply(
+            variables, *self._model_inputs(x, arrays),
+            mask=arrays["bag_mask"], train=False, method="extract",
         )
+        return self._unwrap(out)
+
+    @staticmethod
+    def _unwrap(out):
+        # MIL models return (value, attention_weights); joint models a value
+        return out[0] if isinstance(out, tuple) else out
+
+
+@dataclass
+class MILAdapter(_PatchAdapterBase):
+    """Patch-bag models (AggregationModel / AggregationProjectModel)."""
+
+
+@dataclass
+class JointAdapter(_PatchAdapterBase):
+    """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
+
+    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
+
+    def _model_inputs(self, x, arrays) -> tuple:
+        return (x, arrays["rna_data"])

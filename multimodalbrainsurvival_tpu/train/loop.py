@@ -132,11 +132,23 @@ def evaluate(
     loss_fn, loss_keys = make_loss_fn(settings)
     all_keys = tuple(dict.fromkeys(adapter.array_keys + loss_keys))
 
-    @jax.jit
-    def eval_step(variables, arrays):
-        out, _ = adapter.apply(variables, arrays, train=False)
-        loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
-        return out, loss
+    # cache the compiled step on the adapter — a fresh jit closure per
+    # evaluate() call would recompile on every epoch × split
+    cache_key = (settings.task, settings.num_classes, settings.reference_parity)
+    cache = getattr(adapter, "_eval_step_cache", None)
+    if cache is None:
+        cache = {}
+        adapter._eval_step_cache = cache
+    if cache_key not in cache:
+
+        @jax.jit
+        def eval_step(variables, arrays):
+            out, _ = adapter.apply(variables, arrays, train=False)
+            loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
+            return out, loss
+
+        cache[cache_key] = eval_step
+    eval_step = cache[cache_key]
 
     outputs, losses, ids = [], [], {k: [] for k in adapter.id_keys}
     labels: dict[str, list] = {}

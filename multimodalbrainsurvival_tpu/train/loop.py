@@ -58,6 +58,11 @@ class TrainSettings:
     # NaN guard: the reference drops into pdb on a NaN loss
     # (1_HistoPathology/models.py:107-109); here a hard error with context.
     check_numerics: bool = True
+    # debug_checkify=True additionally instruments the forward+loss with
+    # jax.experimental.checkify NaN/div checks, so the raised error names the
+    # first offending primitive instead of just reporting a NaN loss
+    # (SURVEY.md §5 "race detection / sanitizers" row). Slower; debug only.
+    debug_checkify: bool = False
     # profile_steps > 0: capture a jax.profiler trace of that many train
     # steps (starting after warmup) into <profile_dir>.
     profile_steps: int = 0
@@ -247,20 +252,48 @@ def train_model(
     batch_stats = variables.get("batch_stats")
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, arrays, step_rng):
-        def compute(p):
-            v = {"params": p}
-            if batch_stats is not None:
-                v["batch_stats"] = batch_stats
-            out, new_stats = adapter.apply(v, arrays, train=True, rng=step_rng)
-            loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
-            return loss, new_stats
+    def _forward_loss(params, batch_stats, arrays, step_rng):
+        v = {"params": params}
+        if batch_stats is not None:
+            v["batch_stats"] = batch_stats
+        out, new_stats = adapter.apply(v, arrays, train=True, rng=step_rng)
+        loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
+        return loss, new_stats
 
-        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(params)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_stats, new_opt_state, loss
+    if settings.debug_checkify:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(
+            _forward_loss, errors=checkify.float_checks
+        )
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, arrays, step_rng):
+            err, (loss, new_stats) = checked(
+                params, batch_stats, arrays, step_rng
+            )
+            return params, new_stats, opt_state, loss, err
+
+        def run_step(params, batch_stats, opt_state, arrays, step_rng):
+            # debug mode: forward-only with op-level NaN localization
+            _, new_stats, _, loss, err = train_step(
+                params, batch_stats, opt_state, arrays, step_rng
+            )
+            err.throw()
+            return params, new_stats, opt_state, loss
+
+    else:
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, arrays, step_rng):
+            (loss, new_stats), grads = jax.value_and_grad(
+                _forward_loss, has_aux=True
+            )(params, batch_stats, arrays, step_rng)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, loss
+
+        run_step = train_step
 
     ckpt = Checkpointer() if settings.save_dir else None
     if settings.save_dir:
@@ -326,7 +359,7 @@ def train_model(
             rng, step_rng = jax.random.split(rng)
             if settings.profile_steps and step == 5:
                 jax.profiler.start_trace(settings.profile_dir)
-            params, new_stats, opt_state, loss = train_step(
+            params, new_stats, opt_state, loss = run_step(
                 params, batch_stats, opt_state, arrays, step_rng
             )
             if settings.profile_steps and step == 5 + settings.profile_steps:

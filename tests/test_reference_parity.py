@@ -40,11 +40,21 @@ def _import_ref(modname, path):
     _stub("torchvision", models=None, transforms=None)
     sk = _stub("sksurv")
     sk.metrics = _stub("sksurv.metrics", concordance_index_censored=None)
-    sys.path.insert(0, path)
-    try:
-        import importlib
+    # load by file path under a unique name: multiple reference dirs contain
+    # a "models.py" and the sys.modules cache would alias them
+    import importlib.util
 
-        mod = importlib.import_module(modname)
+    unique = f"_ref_{path.strip('/').replace('/', '_')}_{modname}"
+    if unique in sys.modules:
+        return sys.modules[unique]
+    sys.path.insert(0, path)  # for intra-reference imports (e.g. resnet)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            unique, os.path.join(path, f"{modname}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[unique] = mod
+        spec.loader.exec_module(mod)
     finally:
         sys.path.remove(path)
     return mod

@@ -55,6 +55,31 @@ def test_full_train_state_resume(tmp_path):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkify_debug_mode_localizes_nan(tmp_path):
+    """debug_checkify raises with the offending primitive named."""
+    import optax
+    import pandas as pd
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+
+    make_survival_csv(str(tmp_path / "rna.csv"), [f"c{i}" for i in range(8)],
+                      n_rna=6)
+    df = pd.read_csv(tmp_path / "rna.csv")
+    df["rna_0"] = np.inf
+    df.to_csv(tmp_path / "poison.csv", index=False)
+    ds = RNATableDataset(str(tmp_path / "poison.csv"))
+    adapter = TableAdapter(
+        model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(8, 4)))
+    )
+    s = TrainSettings(num_epochs=1, batch_size=4, save_dir=None,
+                      debug_checkify=True, eval_splits_during_training=())
+    with pytest.raises(Exception, match="primitive"):
+        train_model(adapter, {"train": ds, "val": ds}, optax.adam(1e-3), s)
+
+
 def test_patch_rna_dataset(tmp_path):
     from multimodalbrainsurvival_tpu.data.patches import PatchRNADataset
 

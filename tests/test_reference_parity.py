@@ -184,6 +184,62 @@ def test_mil_aggregation_scores_and_ci_match_reference():
     assert list(frame.columns) == ["id", "score", "survival_months", "vital_status"]
 
 
+def test_joint_fusion_scores_match_reference():
+    """Reference BagHistopathologyRNAModel scores == ours via the converter."""
+    ref_resnet = _import_ref("resnet", REF_HISTO)
+    ref_joint = _import_ref("models", "/root/reference/5_JointFusion")
+
+    tn = torch.nn
+    torch.manual_seed(2)
+    resnet = ref_resnet.resnet50(pretrained=False)
+    G, H1, H2 = 100, 64, 2048  # rna dims (H2 must be 2048 to concat to 4096)
+    rna_mlp = tn.Sequential(tn.Dropout(), tn.Linear(G, H1), tn.ReLU(),
+                            tn.Dropout(), tn.Linear(H1, H2))
+    combine = tn.Sequential(tn.Dropout(0.8), tn.Linear(2048 + H2, 1))
+    tmodel = ref_joint.BagHistopathologyRNAModel(resnet, rna_mlp, combine)
+    tmodel.eval()
+
+    B, bag, hw = 3, 2, 224
+    rng = np.random.default_rng(5)
+    bags = rng.normal(size=(B, bag, 3, hw, hw)).astype(np.float32)
+    rna = rng.normal(size=(B, G)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(bags), torch.tensor(rna)).numpy()
+
+    from multimodalbrainsurvival_tpu.models import (
+        BagHistopathologyRNAModel,
+        RNAEncoder,
+        resnet50,
+    )
+    from multimodalbrainsurvival_tpu.models.convert import torch_resnet_to_flax
+
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    rn_vars = torch_resnet_to_flax(state, prefix="resnet.")
+    variables = {
+        "params": {
+            "resnet": rn_vars["params"],
+            "rna_encoder": {
+                "dense_0": {"kernel": jnp.array(state["rna_mlp.1.weight"].T),
+                            "bias": jnp.array(state["rna_mlp.1.bias"])},
+                "dense_1": {"kernel": jnp.array(state["rna_mlp.4.weight"].T),
+                            "bias": jnp.array(state["rna_mlp.4.bias"])},
+            },
+            "final": {"kernel": jnp.array(state["final_mlp.1.weight"].T),
+                      "bias": jnp.array(state["final_mlp.1.bias"])},
+        },
+        "batch_stats": {"resnet": rn_vars["batch_stats"]},
+    }
+    variables = jax.tree.map(jnp.asarray, variables)
+    ours = BagHistopathologyRNAModel(
+        resnet=resnet50(), rna_encoder=RNAEncoder(hidden_dims=(H1, H2))
+    )
+    got = ours.apply(
+        variables, jnp.array(np.transpose(bags, (0, 1, 3, 4, 2))),
+        jnp.array(rna), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
 def test_cox_loss_matches_reference_implementation():
     """Our parity-mode Cox loss == the reference's own cox_loss function,
     executed directly from /root/reference (not a re-implementation)."""

@@ -66,6 +66,9 @@ def load_pretrained(variables, config):
         )
 
         converted = torch_resnet_to_flax(load_torch_state_dict(path))
+        # the MIL extract path never calls the ResNet's 1000-class head, so
+        # flax has no params for it — don't graft one in
+        converted["params"].pop("fc", None)
         variables["params"]["resnet"].update(
             jax.tree.map(jnp.asarray, converted["params"])
         )

@@ -124,3 +124,68 @@ def torch_resnet_to_flax(
             put(stats, dest_scope + ["var"], value)
 
     return {"params": params, "batch_stats": stats}
+
+
+def _linear(state, name):
+    return {
+        "kernel": state[f"{name}.weight"].T,
+        "bias": state[f"{name}.bias"],
+    }
+
+
+def torch_mil_to_flax(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
+    """Reference ``AggregationModel`` state_dict → our variable tree.
+
+    Covers the resnet (via :func:`torch_resnet_to_flax` with the ``resnet.``
+    prefix), the ``fc`` head, and the aggregator (TanhAttention params when
+    present; identity has none). The ResNet's own 1000-class classifier is
+    dropped: the MIL ``extract`` path never calls it, so flax never
+    materializes its params and a restore would mismatch.
+    """
+    rn = torch_resnet_to_flax(state, prefix="resnet.")
+    rn["params"].pop("fc", None)
+    params: dict[str, Any] = {"resnet": rn["params"], "fc": _linear(state, "fc")}
+    if "aggregator.vector" in state:
+        params["aggregator"] = {
+            "vector": state["aggregator.vector"],
+            "linear": {"kernel": state["aggregator.linear.weight"].T},
+        }
+    if "project.weight" in state:  # AggregationProjectModel
+        params["project"] = _linear(state, "project")
+    return {"params": params, "batch_stats": {"resnet": rn["batch_stats"]}}
+
+
+def torch_rna_to_flax(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
+    """Reference ``RNAOnlyModel`` state_dict → our variable tree.
+
+    The reference builds the encoder as ``Sequential(Dropout, Linear, ReLU,
+    Dropout, Linear)`` (``1_GeneExpress_train.py:247-257``) so the Linear
+    indices are 1 and 4; the head is ``final_mlp.0``.
+    """
+    return {
+        "params": {
+            "encoder": {
+                "dense_0": _linear(state, "rna_mlp.1"),
+                "dense_1": _linear(state, "rna_mlp.4"),
+            },
+            "final": _linear(state, "final_mlp.0"),
+        }
+    }
+
+
+def torch_joint_to_flax(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
+    """Reference ``BagHistopathologyRNAModel`` state_dict → our variable tree
+    (``5_JointFusion/models.py:87-104``; head ``Sequential(Dropout, Linear)``)."""
+    rn = torch_resnet_to_flax(state, prefix="resnet.")
+    rn["params"].pop("fc", None)  # unused classifier head (see torch_mil_to_flax)
+    return {
+        "params": {
+            "resnet": rn["params"],
+            "rna_encoder": {
+                "dense_0": _linear(state, "rna_mlp.1"),
+                "dense_1": _linear(state, "rna_mlp.4"),
+            },
+            "final": _linear(state, "final_mlp.1"),
+        },
+        "batch_stats": {"resnet": rn["batch_stats"]},
+    }

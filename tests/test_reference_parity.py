@@ -131,31 +131,16 @@ def test_mil_aggregation_scores_and_ci_match_reference():
         want_scores, want_attn = tmodel(torch.tensor(bags))
     want_scores = want_scores.numpy()
 
-    # --- convert the torch checkpoint into our variable tree ---
+    # --- convert the torch checkpoint via the production converter ---
     from multimodalbrainsurvival_tpu.models import (
         AggregationModel,
         TanhAttention,
         resnet50,
     )
-    from multimodalbrainsurvival_tpu.models.convert import torch_resnet_to_flax
+    from multimodalbrainsurvival_tpu.models.convert import torch_mil_to_flax
 
     state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    rn_vars = torch_resnet_to_flax(state, prefix="resnet.")
-    variables = {
-        "params": {
-            "resnet": rn_vars["params"],
-            "aggregator": {
-                "vector": jnp.array(state["aggregator.vector"]),
-                "linear": {"kernel": jnp.array(state["aggregator.linear.weight"].T)},
-            },
-            "fc": {
-                "kernel": jnp.array(state["fc.weight"].T),
-                "bias": jnp.array(state["fc.bias"]),
-            },
-        },
-        "batch_stats": {"resnet": rn_vars["batch_stats"]},
-    }
-    variables = jax.tree.map(jnp.asarray, variables)
+    variables = jax.tree.map(jnp.asarray, torch_mil_to_flax(state))
 
     ours = AggregationModel(
         resnet=resnet50(),
@@ -211,25 +196,10 @@ def test_joint_fusion_scores_match_reference():
         RNAEncoder,
         resnet50,
     )
-    from multimodalbrainsurvival_tpu.models.convert import torch_resnet_to_flax
+    from multimodalbrainsurvival_tpu.models.convert import torch_joint_to_flax
 
     state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    rn_vars = torch_resnet_to_flax(state, prefix="resnet.")
-    variables = {
-        "params": {
-            "resnet": rn_vars["params"],
-            "rna_encoder": {
-                "dense_0": {"kernel": jnp.array(state["rna_mlp.1.weight"].T),
-                            "bias": jnp.array(state["rna_mlp.1.bias"])},
-                "dense_1": {"kernel": jnp.array(state["rna_mlp.4.weight"].T),
-                            "bias": jnp.array(state["rna_mlp.4.bias"])},
-            },
-            "final": {"kernel": jnp.array(state["final_mlp.1.weight"].T),
-                      "bias": jnp.array(state["final_mlp.1.bias"])},
-        },
-        "batch_stats": {"resnet": rn_vars["batch_stats"]},
-    }
-    variables = jax.tree.map(jnp.asarray, variables)
+    variables = jax.tree.map(jnp.asarray, torch_joint_to_flax(state))
     ours = BagHistopathologyRNAModel(
         resnet=resnet50(), rna_encoder=RNAEncoder(hidden_dims=(H1, H2))
     )

@@ -26,6 +26,7 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=12778)
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     a = p.parse_args(argv)
 
     import jax
@@ -34,8 +35,9 @@ def main(argv=None):
     from multimodalbrainsurvival_tpu.ops.pallas import dropout_matmul
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(a.batch, a.k)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(a.k, a.n)).astype(np.float32))
+    dt = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+    x = jnp.asarray(rng.normal(size=(a.batch, a.k)).astype(np.float32)).astype(dt)
+    w = jnp.asarray(rng.normal(size=(a.k, a.n)).astype(np.float32)).astype(dt)
     flops = 2 * a.batch * a.k * a.n
 
     @partial(jax.jit, static_argnames=("n",))

@@ -302,6 +302,17 @@ def resnet152(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck, **kw)
 
 
+def rnfour(depth: str = "resnet50", **kw) -> ResNet:
+    """4-channel input variant (reference ``RNfour``, resnet.py:167-240);
+    pretrained conv1 surgery via ``convert.adapt_conv1_channels``."""
+    return RESNET_CONSTRUCTORS[depth](in_channels=4, **kw)
+
+
+def rnone(depth: str = "resnet50", **kw) -> ResNet:
+    """1-channel input variant (reference ``RNone``, resnet.py:242-315)."""
+    return RESNET_CONSTRUCTORS[depth](in_channels=1, **kw)
+
+
 RESNET_CONSTRUCTORS = {
     "resnet18": resnet18,
     "resnet34": resnet34,

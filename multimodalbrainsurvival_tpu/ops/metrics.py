@@ -34,16 +34,7 @@ import pandas as pd
 from scipy.special import softmax as _scipy_softmax
 
 
-def _concordance_from_risk(
-    times: np.ndarray, risks: np.ndarray, events: np.ndarray, tied_tol: float = 1e-8
-) -> float:
-    t = np.asarray(times, dtype=np.float64).reshape(-1)
-    r = np.asarray(risks, dtype=np.float64).reshape(-1)
-    e = np.asarray(events).reshape(-1).astype(bool)
-    n = t.shape[0]
-    if n < 2:
-        return np.nan
-
+def _concordance_quadratic(t, r, e, tied_tol):
     ti = t[:, None]
     tj = t[None, :]
     ei = e[:, None]
@@ -61,6 +52,95 @@ def _concordance_from_risk(
     if num_comparable == 0:
         return np.nan
     return float((concordant.sum() + 0.5 * tied_pairs.sum()) / num_comparable)
+
+
+class _Fenwick:
+    def __init__(self, n: int):
+        self.tree = np.zeros(n + 1, np.int64)
+        self.n = n
+
+    def add(self, i: int) -> None:
+        i += 1
+        while i <= self.n:
+            self.tree[i] += 1
+            i += i & (-i)
+
+    def prefix(self, i: int) -> int:
+        # count of inserted ranks < i
+        s = 0
+        while i > 0:
+            s += self.tree[i]
+            i -= i & (-i)
+        return int(s)
+
+
+def _concordance_nlogn(t, r, e, tied_tol):
+    """O(n log n) pair counting: ascend unique times; a Fenwick tree over
+    rank-compressed risks holds every sample with a strictly LATER time, so
+    each event sample counts its concordant/tied partners in two queries.
+    Same-time event-vs-censored pairs are counted within the group via
+    searchsorted. Exactly equal to the quadratic counting (tested)."""
+    # rank-compress risks with the tie tolerance
+    order = np.argsort(r, kind="stable")
+    ranks = np.empty(len(r), np.int64)
+    rank = 0
+    prev = None
+    for idx in order:
+        if prev is None or r[idx] - prev > tied_tol:
+            rank += 1
+            prev = r[idx]
+        ranks[idx] = rank
+
+    by_time = np.argsort(t, kind="stable")
+    groups: list[np.ndarray] = []
+    start = 0
+    for k in range(1, len(t) + 1):
+        if k == len(t) or t[by_time[k]] != t[by_time[start]]:
+            groups.append(by_time[start:k])
+            start = k
+
+    bit = _Fenwick(rank + 1)
+    inserted = 0
+    conc = tied = total = 0
+    for g in reversed(groups):
+        g_event = g[e[g]]
+        g_cens = g[~e[g]]
+        # later-time partners (already in the BIT)
+        for i in g_event:
+            below = bit.prefix(int(ranks[i]))  # count(rank_j < rank_i)
+            at = bit.prefix(int(ranks[i]) + 1) - below  # count(rank_j == rank_i)
+            conc += below
+            tied += at
+            total += inserted
+        # same-time: event vs censored
+        if len(g_event) and len(g_cens):
+            cr = np.sort(ranks[g_cens])
+            for i in g_event:
+                lo = np.searchsorted(cr, ranks[i], side="left")
+                hi = np.searchsorted(cr, ranks[i], side="right")
+                conc += int(lo)
+                tied += int(hi - lo)
+                total += len(cr)
+        for i in g:
+            bit.add(int(ranks[i]))
+        inserted += len(g)
+    if total == 0:
+        return np.nan
+    return float((conc + 0.5 * tied) / total)
+
+
+def _concordance_from_risk(
+    times: np.ndarray, risks: np.ndarray, events: np.ndarray, tied_tol: float = 1e-8
+) -> float:
+    t = np.asarray(times, dtype=np.float64).reshape(-1)
+    r = np.asarray(risks, dtype=np.float64).reshape(-1)
+    e = np.asarray(events).reshape(-1).astype(bool)
+    n = t.shape[0]
+    if n < 2:
+        return np.nan
+    if n <= 2048:  # vectorized O(n²) wins at eval-set sizes
+        return _concordance_quadratic(t, r, e, tied_tol)
+    return _concordance_nlogn(t, r, e, tied_tol)
 
 
 def concordance_index_censored(

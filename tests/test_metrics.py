@@ -59,6 +59,35 @@ def test_ci_tied_time_death_vs_censor():
     )
 
 
+def test_nlogn_ci_matches_quadratic():
+    """The O(n log n) counting (used for n > 2048) equals the O(n²) oracle,
+    including heavy time- and risk-ties."""
+    from multimodalbrainsurvival_tpu.ops.metrics import (
+        _concordance_nlogn,
+        _concordance_quadratic,
+    )
+
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        n = int(rng.integers(5, 300))
+        times = rng.choice(rng.uniform(1, 50, size=max(2, n // 3)), size=n)
+        risks = np.round(rng.normal(size=n), 1)
+        events = rng.uniform(size=n) < 0.6
+        a = _concordance_quadratic(times, risks, events, 1e-8)
+        b = _concordance_nlogn(times, risks, events, 1e-8)
+        assert (np.isnan(a) and np.isnan(b)) or np.isclose(a, b)
+
+
+def test_large_cohort_ci_uses_fast_path():
+    rng = np.random.default_rng(2)
+    n = 5000
+    times = rng.uniform(1, 100, n)
+    risks = -times + rng.normal(size=n) * 5  # strong signal
+    events = np.ones(n)
+    ci = concordance_index_censored(events.astype(bool), times, risks)
+    assert ci > 0.9
+
+
 def test_lifelines_style_wrapper_direction():
     times = np.array([1.0, 2.0, 3.0, 4.0])
     events = np.ones(4)

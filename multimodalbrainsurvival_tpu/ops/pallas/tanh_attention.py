@@ -20,8 +20,10 @@ Grid ``(B, D/BJ)``: sample-major, projection-column tiles inner. The bag axis
 is padded to a multiple of 8 (masked), D to a multiple of 128 (zero-padded —
 zero columns contribute tanh(0)·v = 0).
 
-Forward/serving kernel (the extractfeatures path); training uses the stock
-module composition (same math, autodiff-friendly).
+Training-ready: ``fused_gated_attention_pool`` carries an analytic
+``custom_vjp`` (masked-softmax + tanh-gate backward in stock jnp,
+recomputing the cheap logits instead of storing kernel state), verified
+against autodiff of the module composition.
 """
 
 from __future__ import annotations
@@ -76,8 +78,7 @@ def _kernel(x_ref, w_ref, v_ref, mask_ref, out_ref, attn_ref, logits):
         )  # (1, D)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_gated_attention_pool(
+def _pool_forward(
     x: jax.Array,
     W: jax.Array,
     v: jax.Array,
@@ -85,7 +86,6 @@ def fused_gated_attention_pool(
     *,
     interpret: bool | None = None,
 ):
-    """(B, bag, D), (D, D), (D,), (B, bag) → ((B, D) pooled, (B, bag) weights)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, bag, D = x.shape
@@ -130,3 +130,48 @@ def fused_gated_attention_pool(
         interpret=interpret,
     )(x, W, v.reshape(1, -1), mask[:, None, :])
     return out[:, 0, :D], attn[:, 0, :bag]
+
+
+@jax.custom_vjp
+def fused_gated_attention_pool(x, W, v, mask=None):
+    """(B, bag, D), (D, D), (D,), (B, bag) → ((B, D) pooled, (B, bag) weights).
+
+    Pallas forward (see module docstring); analytic backward in stock jnp
+    (recomputes the small logits from residuals — no kernel state stored), so
+    the op composes with ``jax.grad`` for training on very large bags.
+    """
+    return _pool_forward(x, W, v, mask)
+
+
+def _pool_fwd(x, W, v, mask):
+    out, attn = _pool_forward(x, W, v, mask)
+    return (out, attn), (x, W, v, mask, attn)
+
+
+def _pool_bwd(residuals, cotangents):
+    x, W, v, mask, w = residuals
+    g_out, g_attn = cotangents
+    x32 = x.astype(jnp.float32)
+    h = jnp.einsum("btd,de->bte", x32, W.astype(jnp.float32))
+    th = jnp.tanh(h)
+    sech2 = 1.0 - th * th
+
+    # dL/dw_t: direct path through out plus any explicit attn cotangent
+    g_w = jnp.einsum("bd,btd->bt", g_out.astype(jnp.float32), x32)
+    if g_attn is not None:
+        g_w = g_w + g_attn.astype(jnp.float32)
+    # masked-softmax backward: dl_t = w_t (g_w_t - Σ_s w_s g_w_s)
+    dl = w * (g_w - jnp.sum(w * g_w, axis=1, keepdims=True))
+    if mask is not None:
+        dl = jnp.where(mask, dl, 0.0)
+
+    vs = sech2 * v[None, None, :]           # (B, bag, D) — v ⊙ sech²(h)
+    # dx: direct pooling path + logits path
+    dx = w[..., None] * g_out[:, None, :].astype(jnp.float32)
+    dx = dx + dl[..., None] * jnp.einsum("de,bte->btd", W.astype(jnp.float32), vs)
+    dW = jnp.einsum("btd,bt,bte->de", x32, dl, vs)
+    dv = jnp.einsum("bt,btd->d", dl, th)
+    return dx.astype(x.dtype), dW.astype(W.dtype), dv.astype(v.dtype), None
+
+
+fused_gated_attention_pool.defvjp(_pool_fwd, _pool_bwd)

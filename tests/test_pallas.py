@@ -81,6 +81,36 @@ def test_fused_attention_pool_matches_module_composition():
     np.testing.assert_allclose(np.asarray(attn), np.asarray(w_ref), atol=1e-5)
 
 
+def test_fused_attention_pool_grads_match_autodiff():
+    """custom_vjp grads == jax.grad of the TanhAttention+mean composition."""
+    from multimodalbrainsurvival_tpu.models.aggregators import TanhAttention
+    from multimodalbrainsurvival_tpu.models.mil import masked_bag_mean
+    from multimodalbrainsurvival_tpu.ops.pallas import fused_gated_attention_pool
+
+    rng = np.random.default_rng(6)
+    B, bag, D = 2, 9, 160
+    x = jnp.asarray(rng.normal(size=(B, bag, D)).astype(np.float32))
+    Wm = jnp.asarray((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(B, bag)) < 0.7).at[:, 0].set(True)
+    agg = TanhAttention(dim=D)
+
+    def ref_loss(x, Wm, v):
+        o, _ = agg.apply(
+            {"params": {"vector": v, "linear": {"kernel": Wm}}}, x, mask=mask
+        )
+        return (masked_bag_mean(o, mask) ** 2).sum()
+
+    def ker_loss(x, Wm, v):
+        out, _ = fused_gated_attention_pool(x, Wm, v, mask)
+        return (out**2).sum()
+
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(x, Wm, v)
+    gk = jax.grad(ker_loss, argnums=(0, 1, 2))(x, Wm, v)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_fused_attention_pool_no_mask():
     from multimodalbrainsurvival_tpu.ops.pallas import fused_gated_attention_pool
 

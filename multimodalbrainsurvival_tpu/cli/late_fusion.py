@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 import pandas as pd
 
 from multimodalbrainsurvival_tpu.ops.coxnet import fit_coxnet

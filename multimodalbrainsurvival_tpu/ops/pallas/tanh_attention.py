@@ -28,7 +28,6 @@ against autodiff of the module composition.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -47,7 +47,7 @@ def main(argv=None):
     output_path = config.get("output_path", "")
     os.makedirs(output_path or ".", exist_ok=True)
 
-    model = build_rna_model()
+    model = build_rna_model(config)
     adapter = TableAdapter(model=model)
     datasets = {
         "train": RNATableDataset(config["train_csv_path"]),

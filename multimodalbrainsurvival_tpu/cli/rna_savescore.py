@@ -29,7 +29,7 @@ def main(argv=None):
     output_path = config.get("output_path", "")
     os.makedirs(output_path or ".", exist_ok=True)
 
-    model = build_rna_model()
+    model = build_rna_model(config)
     adapter = TableAdapter(model=model)
     settings = TrainSettings(task="survival_prediction",
                              batch_size=config.batch_size)

@@ -32,8 +32,11 @@ from multimodalbrainsurvival_tpu.train.optim import (
 )
 
 
-def build_rna_model() -> RNAOnlyModel:
-    return RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4096, 2048)))
+def build_rna_model(config=None) -> RNAOnlyModel:
+    use_pallas = bool(config.get("use_pallas", False)) if config else False
+    return RNAOnlyModel(
+        encoder=RNAEncoder(hidden_dims=(4096, 2048), use_pallas=use_pallas)
+    )
 
 
 def build_rna_optimizer(params, config):
@@ -59,7 +62,7 @@ def main(argv=None):
     }
     print("loaded datasets")
 
-    model = build_rna_model()
+    model = build_rna_model(config)
     adapter = TableAdapter(model=model)
     settings = TrainSettings(
         num_epochs=1 if args.quick else config.num_epochs,

@@ -42,11 +42,18 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
     from multimodalbrainsurvival_tpu.models import resnet50
     from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
 
-    model = resnet50(dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
-        train=False,
+    from multimodalbrainsurvival_tpu.models.folding import fold_resnet_variables
+
+    # serve with folded BN (fold_bn config key in extractfeatures): +20%
+    # measured on v5e vs BN-in-f32 eval
+    stock = resnet50(dtype=jnp.bfloat16)
+    variables = fold_resnet_variables(
+        stock.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+            train=False,
+        )
     )
+    model = resnet50(dtype=jnp.bfloat16, fold_bn=True)
 
     # All `iters` forward passes run inside ONE jitted call, chained through
     # an accumulator, with the input perturbed per iteration so XLA cannot

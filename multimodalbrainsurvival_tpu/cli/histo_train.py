@@ -37,9 +37,9 @@ from multimodalbrainsurvival_tpu.train.optim import (
 )
 
 
-def build_mil_model(config) -> AggregationModel:
+def build_mil_model(config, fold_bn: bool = False) -> AggregationModel:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype)
+    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype, fold_bn=fold_bn)
     aggregator = make_aggregator(
         config.aggregator,
         dim=resnet.feature_dim,

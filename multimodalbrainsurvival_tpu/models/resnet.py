@@ -41,6 +41,26 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class _Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x, use_running_average=None):
+        return x
+
+
+def _make_norm(fold_bn: bool, train: bool):
+    """BN factory; with fold_bn the affine lives inside the conv bias
+    (``models/folding.py``) and the norm is the identity."""
+    if fold_bn:
+        return lambda name=None: _Identity(name=name)
+    return partial(
+        nn.BatchNorm,
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=jnp.float32,
+    )
+
+
 class StemConv(nn.Module):
     """The 7×7/2 stem conv, with an optional space-to-depth rewrite.
 
@@ -65,6 +85,7 @@ class StemConv(nn.Module):
     features: int = 64
     dtype: Any = jnp.float32
     space_to_depth: bool = False
+    use_bias: bool = False  # fold_bn mode: bn1's affine folded into a bias
 
     @nn.compact
     def __call__(self, x):
@@ -73,14 +94,19 @@ class StemConv(nn.Module):
             nn.initializers.lecun_normal(),
             (7, 7, x.shape[-1], self.features),
         )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
         B, H, W, C = x.shape
         if not self.space_to_depth or H % 2 or W % 2:
-            return jax.lax.conv_general_dilated(
+            y = jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            return y if bias is None else y + bias.astype(y.dtype)
         # pad kernel 7→8 and re-tile to (4, 4, 4C, F)
         k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
         k2 = k8.reshape(4, 2, 4, 2, C, self.features)
@@ -94,7 +120,8 @@ class StemConv(nn.Module):
             s, k2, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y[:, : H // 2, : W // 2, :]
+        y = y[:, : H // 2, : W // 2, :]
+        return y if bias is None else y + bias.astype(y.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -103,47 +130,25 @@ class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
+    fold_bn: bool = False
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-        )
+        norm = _make_norm(self.fold_bn, train)
+        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
-        y = nn.Conv(
-            self.filters,
-            (3, 3),
-            strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=((1, 1), (1, 1)), name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.filters,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv2",
-        )(y)
+        y = conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                 name="conv2")(y)
         y = norm(name="bn2")(y)
         if residual.shape[-1] != self.filters * self.expansion or self.strides != 1:
-            residual = nn.Conv(
-                self.filters * self.expansion,
-                (1, 1),
-                strides=(self.strides, self.strides),
-                use_bias=False,
-                dtype=self.dtype,
-                name="downsample_conv",
-            )(residual)
+            residual = conv(self.filters * self.expansion, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
             residual = norm(name="downsample_bn")(residual)
         return nn.relu(y + residual.astype(y.dtype))
 
@@ -154,51 +159,27 @@ class Bottleneck(nn.Module):
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
+    fold_bn: bool = False
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-        )
+        norm = _make_norm(self.fold_bn, train)
+        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
-        y = nn.Conv(
-            self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
-        )(x)
+        y = conv(self.filters, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.filters,
-            (3, 3),
-            strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv2",
-        )(y)
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=((1, 1), (1, 1)), name="conv2")(y)
         y = norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.filters * self.expansion,
-            (1, 1),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv3",
-        )(y)
+        y = conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
         y = norm(name="bn3")(y)
         if residual.shape[-1] != self.filters * self.expansion or self.strides != 1:
-            residual = nn.Conv(
-                self.filters * self.expansion,
-                (1, 1),
-                strides=(self.strides, self.strides),
-                use_bias=False,
-                dtype=self.dtype,
-                name="downsample_conv",
-            )(residual)
+            residual = conv(self.filters * self.expansion, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
             residual = norm(name="downsample_bn")(residual)
         return nn.relu(y + residual.astype(y.dtype))
 
@@ -216,6 +197,11 @@ class ResNet(nn.Module):
     num_filters: int = 64
     dtype: Any = jnp.float32
     stem_space_to_depth: bool = False
+    # fold_bn=True: inference-only variant with every BatchNorm folded into
+    # the preceding conv's kernel+bias (models/folding.py produces the
+    # variables). Removes all standalone BN elementwise passes and their
+    # f32<->bf16 converts from the serving path.
+    fold_bn: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -226,10 +212,15 @@ class ResNet(nn.Module):
             features=self.num_filters,
             dtype=self.dtype,
             space_to_depth=self.stem_space_to_depth,
+            use_bias=self.fold_bn,
             name="conv1",
         )
-        self.bn1 = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1"
+        self.bn1 = (
+            _Identity(name="bn1")
+            if self.fold_bn
+            else nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1"
+            )
         )
         for i, n_blocks in enumerate(self.stage_sizes):
             blocks = []
@@ -240,6 +231,7 @@ class ResNet(nn.Module):
                         filters=self.num_filters * (2**i),
                         strides=strides,
                         dtype=self.dtype,
+                        fold_bn=self.fold_bn,
                     )
                 )
             setattr(self, f"layer{i + 1}", blocks)

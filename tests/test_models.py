@@ -197,3 +197,31 @@ def test_project_model():
     feats, _ = model.apply(variables, x, method="extract")
     assert feats.shape == (2, 16)
     assert np.all(np.abs(np.asarray(feats)) <= 1.0)  # tanh-bounded
+
+
+def test_bn_folding_matches_eval_path():
+    """fold_bn variables + model == stock eval forward (f32, realistic stats)."""
+    from flax import traverse_util
+
+    from multimodalbrainsurvival_tpu.models.folding import fold_resnet_variables
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    m = resnet18()
+    v = m.init(RNG, x[:1], train=False)
+    flat = traverse_util.flatten_dict(v["batch_stats"])
+    key = jax.random.PRNGKey(2)
+    for k in flat:
+        key, sub = jax.random.split(key)
+        if k[-1] == "mean":
+            flat[k] = flat[k] + 0.1 * jax.random.normal(sub, flat[k].shape)
+        else:
+            flat[k] = flat[k] * jnp.exp(0.2 * jax.random.normal(sub, flat[k].shape))
+    v = {"params": v["params"], "batch_stats": traverse_util.unflatten_dict(flat)}
+
+    want = m.apply(v, x, train=False, method="extract")
+    folded = fold_resnet_variables(v)
+    assert "batch_stats" not in folded
+    got = resnet18(fold_bn=True).apply(folded, x, train=False, method="extract")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)

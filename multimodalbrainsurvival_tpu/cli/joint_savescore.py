@@ -33,7 +33,8 @@ def main(argv=None):
     os.makedirs(output_path or ".", exist_ok=True)
 
     datasets = build_joint_datasets(config, bool(args.quick))
-    model = build_joint_model(config)
+    fold = bool(config.get("fold_bn", False))
+    model = build_joint_model(config, fold_bn=fold)
     adapter = JointAdapter(
         model=model,
         loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
@@ -45,11 +46,21 @@ def main(argv=None):
     )
     probe = next(datasets["train"].batches(settings.batch_size,
                                            **adapter.loader_kwargs))
-    variables = adapter.init(
+    init_adapter = (
+        JointAdapter(model=build_joint_model(config)) if fold else adapter
+    )
+    variables = init_adapter.init(
         jax.random.PRNGKey(args.seed),
         {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
     )
     variables = Checkpointer().restore(config["model_path"], variables)
+    if fold:
+        from multimodalbrainsurvival_tpu.models.folding import (
+            fold_resnet_variables,
+        )
+
+        variables = fold_resnet_variables(variables)
+        print("folded BatchNorm into conv weights for serving")
 
     prefix = os.path.basename(str(config["model_path"]).rstrip("/")) + "_joint"
     for split, ds in datasets.items():

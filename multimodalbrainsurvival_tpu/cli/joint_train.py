@@ -39,9 +39,9 @@ JOINT_LADDER = ("resnet/fc", "resnet/layer4", "resnet/layer3",
                 "resnet/layer2", "resnet/layer1", "resnet/conv1")
 
 
-def build_joint_model(config) -> BagHistopathologyRNAModel:
+def build_joint_model(config, fold_bn: bool = False) -> BagHistopathologyRNAModel:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype)
+    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype, fold_bn=fold_bn)
     return BagHistopathologyRNAModel(
         resnet=resnet,
         rna_encoder=RNAEncoder(hidden_dims=(4096, 2048), dtype=dtype),

@@ -227,28 +227,52 @@ class PatchBagDataset:
 
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned generator (e.g. a probe `next(ds.batches(...))`)
+            # doesn't leak the producer thread + prefetched GB-scale batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # exceptions are forwarded to the consumer instead of hanging it
             try:
                 with ThreadPoolExecutor(max_workers=num_threads) as pool:
                     for idx in batch_indices():
+                        if stop.is_set():
+                            return
                         items = list(pool.map(self._load_bag, idx))
-                        q.put(self._assemble(items, batch_size))
-                q.put(sentinel)
+                        if not _put(self._assemble(items, batch_size)):
+                            return
+                _put(sentinel)
             except BaseException as e:  # noqa: BLE001
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer stuck on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
 
 
 class PatchRNADataset(PatchBagDataset):

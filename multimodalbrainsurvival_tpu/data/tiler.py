@@ -169,14 +169,20 @@ def pack_patch_dir(patch_dir: str) -> int:
     if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(loc):
         return n
     slide_id = os.path.basename(os.path.normpath(patch_dir))
-    first = cv2.imread(os.path.join(patch_dir, f"{slide_id}_patch_0.png"))
+
+    def _read(i: int) -> np.ndarray:
+        path = os.path.join(patch_dir, f"{slide_id}_patch_{i}.png")
+        img = cv2.imread(path)
+        if img is None:  # loc.txt count out of sync with files on disk
+            raise FileNotFoundError(path)
+        return img[:, :, ::-1]
+
+    first = _read(0)
     P = first.shape[0]
     packed = np.zeros((n, P, P, 3), np.uint8)
-    packed[0] = first[:, :, ::-1]
+    packed[0] = first
     for i in range(1, n):
-        packed[i] = cv2.imread(
-            os.path.join(patch_dir, f"{slide_id}_patch_{i}.png")
-        )[:, :, ::-1]
+        packed[i] = _read(i)
     np.save(out, packed)
     return n
 

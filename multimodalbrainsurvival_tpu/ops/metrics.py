@@ -75,21 +75,19 @@ class _Fenwick:
 
 
 def _concordance_nlogn(t, r, e, tied_tol):
-    """O(n log n) pair counting: ascend unique times; a Fenwick tree over
-    rank-compressed risks holds every sample with a strictly LATER time, so
-    each event sample counts its concordant/tied partners in two queries.
-    Same-time event-vs-censored pairs are counted within the group via
-    searchsorted. Exactly equal to the quadratic counting (tested)."""
-    # rank-compress risks with the tie tolerance
-    order = np.argsort(r, kind="stable")
-    ranks = np.empty(len(r), np.int64)
-    rank = 0
-    prev = None
-    for idx in order:
-        if prev is None or r[idx] - prev > tied_tol:
-            rank += 1
-            prev = r[idx]
-        ranks[idx] = rank
+    """O(n log n) pair counting: ascend unique times; a Fenwick tree over the
+    exact risk values holds every sample with a strictly LATER time, so each
+    event sample counts its concordant/tied partners in two prefix queries.
+
+    Tie handling matches the quadratic counting's PAIRWISE band
+    ``|r_i - r_j| <= tied_tol`` (which is non-transitive): partners are
+    counted by searchsorted windows ``(-inf, r_i - tol)`` vs
+    ``[r_i - tol, r_i + tol]`` over the exact sorted values — no chained rank
+    compression. Same-time event-vs-censored pairs are counted within the
+    group the same way. Exactly equal to the quadratic counting (tested,
+    including adversarial near-tied chains)."""
+    uniq = np.unique(r)  # sorted exact values
+    ranks = np.searchsorted(uniq, r)  # exact-value rank per sample
 
     by_time = np.argsort(t, kind="stable")
     groups: list[np.ndarray] = []
@@ -99,25 +97,28 @@ def _concordance_nlogn(t, r, e, tied_tol):
             groups.append(by_time[start:k])
             start = k
 
-    bit = _Fenwick(rank + 1)
+    bit = _Fenwick(len(uniq))
     inserted = 0
     conc = tied = total = 0
     for g in reversed(groups):
         g_event = g[e[g]]
         g_cens = g[~e[g]]
-        # later-time partners (already in the BIT)
+        # later-time partners (already in the BIT); band boundaries on the
+        # exact value axis give the pairwise |ri-rj|<=tol semantics
         for i in g_event:
-            below = bit.prefix(int(ranks[i]))  # count(rank_j < rank_i)
-            at = bit.prefix(int(ranks[i]) + 1) - below  # count(rank_j == rank_i)
+            lo = int(np.searchsorted(uniq, r[i] - tied_tol, side="left"))
+            hi = int(np.searchsorted(uniq, r[i] + tied_tol, side="right"))
+            below = bit.prefix(lo)          # count(r_j < r_i - tol)
+            at = bit.prefix(hi) - below     # count(|r_j - r_i| <= tol)
             conc += below
             tied += at
             total += inserted
         # same-time: event vs censored
         if len(g_event) and len(g_cens):
-            cr = np.sort(ranks[g_cens])
+            cr = np.sort(r[g_cens])
             for i in g_event:
-                lo = np.searchsorted(cr, ranks[i], side="left")
-                hi = np.searchsorted(cr, ranks[i], side="right")
+                lo = np.searchsorted(cr, r[i] - tied_tol, side="left")
+                hi = np.searchsorted(cr, r[i] + tied_tol, side="right")
                 conc += int(lo)
                 tied += int(hi - lo)
                 total += len(cr)

@@ -44,7 +44,8 @@ class TableAdapter:
     loader_kwargs: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        self.array_keys = (self.input_key, self.sample_mask_key)
+        if not self.array_keys:  # derive only when not caller-supplied
+            self.array_keys = (self.input_key, self.sample_mask_key)
 
     def init(self, rng, arrays):
         return self.model.init(rng, arrays[self.input_key], train=False)
@@ -100,16 +101,18 @@ class _PatchAdapterBase:
         x = self._preprocess(arrays, train, rng_img)
         inputs = self._model_inputs(x, arrays)
         batch_stats = variables.get("batch_stats")
-        if train and batch_stats is not None:
+        if train:
+            # BN-free models (e.g. fold_bn) still train with train=True
+            # (dropout active) — just without a mutable batch_stats collection
             out, updates = self.model.apply(
                 _join_variables(variables["params"], batch_stats),
                 *inputs,
                 mask=arrays["bag_mask"],
                 train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats"] if batch_stats is not None else [],
                 rngs={"dropout": rng_drop},
             )
-            return self._unwrap(out), updates["batch_stats"]
+            return self._unwrap(out), updates.get("batch_stats")
         out = self.model.apply(
             variables, *inputs, mask=arrays["bag_mask"], train=False
         )

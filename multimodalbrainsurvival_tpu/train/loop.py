@@ -118,6 +118,22 @@ def _device_arrays(batch: dict, keys: tuple, device_put_fn=None) -> dict:
     return arrays
 
 
+def _drain_losses(pending, running_loss, seen, settings, epoch):
+    """Fetch deferred device losses (one sync for the whole backlog) and run
+    the NaN guard (the reference drops into pdb — models.py:107-109)."""
+    for loss, bsz, at_step in pending:
+        value = float(loss)
+        if settings.check_numerics and not np.isfinite(value):
+            raise FloatingPointError(
+                f"non-finite loss {value} at epoch {epoch} step {at_step} "
+                f"(task={settings.task}); check inputs/LR."
+            )
+        running_loss += value * bsz
+        seen += bsz
+    pending.clear()
+    return running_loss, seen
+
+
 def _collect_ids(batch: dict, mask: np.ndarray, id_keys: tuple) -> dict:
     return {k: [v for v, m in zip(batch[k], mask) if m] for k in id_keys if k in batch}
 
@@ -139,7 +155,12 @@ def evaluate(
 
     # cache the compiled step on the adapter — a fresh jit closure per
     # evaluate() call would recompile on every epoch × split
-    cache_key = (settings.task, settings.num_classes, settings.reference_parity)
+    cache_key = (
+        settings.task,
+        settings.num_classes,
+        settings.reference_parity,
+        settings.target_label,
+    )
     cache = getattr(adapter, "_eval_step_cache", None)
     if cache is None:
         cache = {}
@@ -176,6 +197,10 @@ def evaluate(
                 labels.setdefault(k, []).extend(np.asarray(batch[k])[mask].tolist())
 
     outputs = np.concatenate(outputs, axis=0)
+    # parity: unweighted mean over batch losses, exactly like the reference's
+    # evaluate (2_HistoPath_train.py:148, `np.mean(loss_list)`) — the final
+    # partial batch is overweighted there too (ours is padded+masked, which
+    # yields the identical per-batch loss as torch's ragged final batch)
     val_loss = float(np.mean(losses))
     months = np.array(labels.get("survival_months", []))
     status = np.array(labels.get("vital_status", []))
@@ -347,6 +372,7 @@ def train_model(
             datasets["train"].shuffle()
 
         running_loss, seen = 0.0, 0
+        pending_losses: list = []
         t_last = time.time()
         for batch in datasets["train"].batches(
             settings.batch_size,
@@ -369,16 +395,15 @@ def train_model(
             if batch_stats is not None:
                 batch_stats = new_stats
             step += 1
-            if settings.check_numerics and not np.isfinite(float(loss)):
-                raise FloatingPointError(
-                    f"non-finite loss {float(loss)} at epoch {epoch} step {step} "
-                    f"(task={settings.task}); check inputs/LR. The reference "
-                    "drops into pdb here (models.py:107-109)."
-                )
+            # defer host syncs: fetching float(loss) every step would block
+            # dispatch of the next step (device round-trip per step); losses
+            # drain at log_interval / epoch end, keeping dispatch async
             bsz = int(np.asarray(batch[adapter.sample_mask_key]).sum())
-            running_loss += float(loss) * bsz
-            seen += bsz
+            pending_losses.append((loss, bsz, step))
             if step % settings.log_interval == 0:
+                running_loss, seen = _drain_losses(
+                    pending_losses, running_loss, seen, settings, epoch
+                )
                 speed = settings.log_interval * settings.batch_size / (
                     time.time() - t_last
                 )
@@ -391,6 +416,9 @@ def train_model(
                     writer.scalar("train/loss", running_loss / max(seen, 1), step)
                     writer.scalar("train/bags_per_s", speed, step)
 
+        running_loss, seen = _drain_losses(
+            pending_losses, running_loss, seen, settings, epoch
+        )
         print(f"EPOCH Loss: {running_loss / max(seen, 1):.4f}")
         variables = {"params": params}
         if batch_stats is not None:

@@ -255,3 +255,25 @@ def test_tiler_roundtrip(tmp_path):
     assert len(ds) == n
     b = next(ds.batches(1, num_threads=1))
     assert b["patch_bag"].shape == (1, 1, 64, 64, 3)
+
+
+def test_abandoned_batches_generator_releases_producer(patch_root):
+    """Dropping a batches() generator (probe pattern) must not leak the
+    producer thread or keep prefetched batches pinned."""
+    import gc
+    import threading
+    import time as _time
+
+    root, csv = patch_root
+    ds = PatchBagDataset(root, csv, img_size=32, bag_size=2)
+    before = {t.ident for t in threading.enumerate()}
+    gen = ds.batches(2, num_threads=2, prefetch=1)
+    next(gen)
+    del gen
+    gc.collect()
+    _time.sleep(1.0)
+    leaked = [
+        t for t in threading.enumerate()
+        if t.ident not in before and t.is_alive()
+    ]
+    assert leaked == []

@@ -134,3 +134,28 @@ def test_nllsurv_ci_risk_direction():
     assert frame.loc[frame["id"] == "dead_fast", "score"].item() > frame.loc[
         frame["id"] == "alive_long", "score"
     ].item()
+
+
+def test_nlogn_ci_pairwise_tie_band():
+    """Non-transitive near-tied chains: nlogn must use the pairwise
+    |ri - rj| <= tol band, not chained rank compression."""
+    from multimodalbrainsurvival_tpu.ops.metrics import (
+        _concordance_nlogn,
+        _concordance_quadratic,
+    )
+
+    risks = np.array([0.0, 0.6e-8, 1.2e-8])
+    times = np.array([1.0, 2.0, 3.0])
+    events = np.ones(3, bool)
+    a = _concordance_quadratic(times, risks, events, 1e-8)
+    b = _concordance_nlogn(times, risks, events, 1e-8)
+    assert np.isclose(a, b)
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        n = int(rng.integers(5, 150))
+        t = rng.choice(rng.uniform(1, 50, size=max(2, n // 3)), size=n)
+        r = rng.integers(0, 15, size=n) * 0.7e-8  # dense sub-tolerance gaps
+        e = rng.uniform(size=n) < 0.6
+        x = _concordance_quadratic(t, r, e, 1e-8)
+        y = _concordance_nlogn(t, r, e, 1e-8)
+        assert (np.isnan(x) and np.isnan(y)) or np.isclose(x, y)

@@ -135,12 +135,18 @@ def _measure_with_watchdog(timeout_s: float = 1500.0) -> float:
         with open(LAST, "w") as f:
             json.dump({"patches_per_sec": result["rate"]}, f)
         return result["rate"]
-    reason = result.get("error", f"timed out after {timeout_s:.0f}s (chip claim stall)")
-    print(f"# measurement unavailable: {reason}", file=sys.stderr)
+    if "error" in result:
+        # deterministic failure: report honestly (null), never the cache —
+        # a cached value here would permanently mask real regressions
+        print(f"# measurement FAILED: {result['error']}", file=sys.stderr)
+        return float("nan")
+    # environment stall (chip claim): the cache reflects unchanged code
+    print(f"# timed out after {timeout_s:.0f}s (chip claim stall)",
+          file=sys.stderr)
     if os.path.isfile(LAST):
         with open(LAST) as f:
             cached = json.load(f)["patches_per_sec"]
-        print(f"# falling back to last successful measurement", file=sys.stderr)
+        print("# falling back to last successful measurement", file=sys.stderr)
         return cached
     return float("nan")
 

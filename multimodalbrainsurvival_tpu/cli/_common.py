@@ -103,6 +103,31 @@ def make_device_put(config: Config):
     return batch_device_put(mesh, shard_bag=shard_bag)
 
 
+def restore_maybe_folded(config: Config, adapter, init_adapter, probe, seed: int):
+    """Init with the stock (unfolded) model tree, restore ``model_path``, and
+    fold BN into the conv weights when ``fold_bn: true`` (+20% serving
+    throughput on v5e; ``models/folding.py``). Checkpoints are always stored
+    unfolded."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    variables = init_adapter.init(
+        jax.random.PRNGKey(seed),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    variables = Checkpointer().restore(config["model_path"], variables)
+    if init_adapter is not adapter:  # fold requested
+        from multimodalbrainsurvival_tpu.models.folding import (
+            fold_resnet_variables,
+        )
+
+        variables = fold_resnet_variables(variables)
+        print("folded BatchNorm into conv weights for serving")
+    return variables
+
+
 def extract_features_frames(cases: list[str], feats: np.ndarray):
     """Per-case mean feature aggregation (``4_HistoPath_extractfeatures.py:80-88``)."""
     import pandas as pd

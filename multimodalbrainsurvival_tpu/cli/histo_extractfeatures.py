@@ -21,10 +21,10 @@ from multimodalbrainsurvival_tpu.cli._common import (
     extract_features_frames,
     load_config,
     make_parser,
+    restore_maybe_folded,
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets, build_mil_model
 from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
-from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
 
 def extract_split(adapter, variables, dataset, batch_size):
@@ -81,18 +81,8 @@ def main(argv=None):
     init_adapter = (
         MILAdapter(model=build_mil_model(config)) if fold else adapter
     )
-    variables = init_adapter.init(
-        jax.random.PRNGKey(args.seed),
-        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
-    )
-    variables = Checkpointer().restore(config["model_path"], variables)
-    if fold:
-        from multimodalbrainsurvival_tpu.models.folding import (
-            fold_resnet_variables,
-        )
-
-        variables = fold_resnet_variables(variables)
-        print("folded BatchNorm into conv weights for serving")
+    variables = restore_maybe_folded(config, adapter, init_adapter,
+                                     probe, args.seed)
 
     suffix = f"_{flag}" if "cv" in flag else ""
     for split, ds in datasets.items():

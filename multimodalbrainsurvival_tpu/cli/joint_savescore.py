@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from multimodalbrainsurvival_tpu.cli._common import (
     load_config,
     make_parser,
+    restore_maybe_folded,
     savescore_name,
 )
 from multimodalbrainsurvival_tpu.cli.joint_train import (
@@ -23,7 +24,6 @@ from multimodalbrainsurvival_tpu.cli.joint_train import (
 )
 from multimodalbrainsurvival_tpu.train import TrainSettings, evaluate
 from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
-from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
 
 def main(argv=None):
@@ -49,18 +49,8 @@ def main(argv=None):
     init_adapter = (
         JointAdapter(model=build_joint_model(config)) if fold else adapter
     )
-    variables = init_adapter.init(
-        jax.random.PRNGKey(args.seed),
-        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
-    )
-    variables = Checkpointer().restore(config["model_path"], variables)
-    if fold:
-        from multimodalbrainsurvival_tpu.models.folding import (
-            fold_resnet_variables,
-        )
-
-        variables = fold_resnet_variables(variables)
-        print("folded BatchNorm into conv weights for serving")
+    variables = restore_maybe_folded(config, adapter, init_adapter,
+                                     probe, args.seed)
 
     prefix = os.path.basename(str(config["model_path"]).rstrip("/")) + "_joint"
     for split, ds in datasets.items():

@@ -151,7 +151,10 @@ def _pool_bwd(residuals, cotangents):
     x, W, v, mask, w = residuals
     g_out, g_attn = cotangents
     x32 = x.astype(jnp.float32)
-    h = jnp.einsum("btd,de->bte", x32, W.astype(jnp.float32))
+    # backward matmuls pinned to f32 like the forward kernel (default TPU
+    # bf16-multiply perturbs these softmax-amplified quantities by ~1e-2)
+    HI = jax.lax.Precision.HIGHEST
+    h = jnp.einsum("btd,de->bte", x32, W.astype(jnp.float32), precision=HI)
     th = jnp.tanh(h)
     sech2 = 1.0 - th * th
 
@@ -167,9 +170,11 @@ def _pool_bwd(residuals, cotangents):
     vs = sech2 * v[None, None, :]           # (B, bag, D) — v ⊙ sech²(h)
     # dx: direct pooling path + logits path
     dx = w[..., None] * g_out[:, None, :].astype(jnp.float32)
-    dx = dx + dl[..., None] * jnp.einsum("de,bte->btd", W.astype(jnp.float32), vs)
-    dW = jnp.einsum("btd,bt,bte->de", x32, dl, vs)
-    dv = jnp.einsum("bt,btd->d", dl, th)
+    dx = dx + dl[..., None] * jnp.einsum(
+        "de,bte->btd", W.astype(jnp.float32), vs, precision=HI
+    )
+    dW = jnp.einsum("btd,bt,bte->de", x32, dl, vs, precision=HI)
+    dv = jnp.einsum("bt,btd->d", dl, th, precision=HI)
     return dx.astype(x.dtype), dW.astype(W.dtype), dv.astype(v.dtype), None
 
 

@@ -51,6 +51,11 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         device_put_fn=make_device_put(config),
+        # parity: EarlyFusion's printed trace starts with an epoch(-1) eval
+        # (2_EarlyFusion_train.py:311-312) and weights the logged running
+        # loss by the event count (:161-166); logging only
+        pre_training_eval=config.reference_parity,
+        running_loss_weight="events" if config.reference_parity else "samples",
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

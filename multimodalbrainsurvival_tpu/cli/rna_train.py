@@ -75,6 +75,9 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         device_put_fn=make_device_put(config),
+        # parity: the reference weights the LOGGED running loss by the batch
+        # event count (1_GeneExpress_train.py:166-171); logging only
+        running_loss_weight="events" if config.reference_parity else "samples",
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

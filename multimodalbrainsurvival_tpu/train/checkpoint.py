@@ -1,4 +1,4 @@
-"""Checkpointing: full train state via Orbax.
+"""Checkpointing: full train state via Orbax, saved asynchronously.
 
 The reference persists model weights only (``torch.save(state_dict)`` best +
 last, ``2_HistoPath_train.py:378-383``) — no optimizer state, no step counter,
@@ -7,6 +7,12 @@ is checkpointed, which upgrades checkpoint/resume to first-class (SURVEY.md §5)
 while keeping the reference's best/last naming convention
 (``model_dict_best`` / ``model_last`` directories under
 ``<checkpoint_path>/models/<flag>/``).
+
+Saves are **async**: ``save`` returns once the state is snapshotted off the
+device (orbax ``AsyncCheckpointer``), and the disk write proceeds in a
+background thread so the per-epoch save never blocks the epoch loop. The
+write is awaited only where it must be: before a ``restore`` of a
+possibly-in-flight path, and at ``wait()`` (called once at end of training).
 
 Warm-start parity: ``restore_path`` / ``model_path`` configs accept either an
 Orbax state directory or a torch ``.pt`` file (converted on the fly for
@@ -27,15 +33,26 @@ def _abs(path: str) -> str:
 
 class Checkpointer:
     def __init__(self):
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
-    def save(self, path: str, state) -> None:
-        self._ckptr.save(_abs(path), state, force=True)
+    def save(self, path: str, state, *, block: bool = False) -> None:
+        """Start an async save. Orbax itself serializes device arrays to host
+        before returning; the disk commit runs in the background (a second
+        ``save`` first waits on any in-flight commit)."""
+        self._ckptr.save(_abs(path), args=ocp.args.StandardSave(state), force=True)
+        if block:
+            self._ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until every started save has committed to disk."""
         self._ckptr.wait_until_finished()
 
     def restore(self, path: str, template=None):
+        self._ckptr.wait_until_finished()  # the path may still be in flight
         if template is not None:
-            return self._ckptr.restore(_abs(path), template)
+            return self._ckptr.restore(
+                _abs(path), args=ocp.args.StandardRestore(template)
+            )
         return self._ckptr.restore(_abs(path))
 
     @staticmethod

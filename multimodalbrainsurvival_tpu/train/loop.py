@@ -72,6 +72,16 @@ class TrainSettings:
     # continues — an upgrade over the reference, which only persists model
     # weights (2_HistoPath_train.py:378-383; SURVEY.md §5).
     resume: bool = False
+    # Printed-trace parity knobs:
+    # - pre_training_eval: EarlyFusion evaluates train+val once before the
+    #   first epoch, logged as epoch -1 (2_EarlyFusion_train.py:311-312).
+    # - running_loss_weight: GeneExpress/EarlyFusion weight the LOGGED running
+    #   loss by the batch's event count `vital_status.sum()`
+    #   (1_GeneExpress_train.py:166-171, 2_EarlyFusion_train.py:161-166);
+    #   HistoPath/Joint weight by sample count (2_HistoPath_train.py:341-344).
+    #   Logging-only — training dynamics are identical either way.
+    pre_training_eval: bool = False
+    running_loss_weight: str = "samples"  # "samples" | "events"
 
 
 def make_loss_fn(settings: TrainSettings):
@@ -365,13 +375,28 @@ def train_model(
             f"step {step}, best_val_loss {best_val_loss:.4f}"
         )
 
+    # parity: EarlyFusion runs a full train+val eval before the first epoch,
+    # logged as epoch -1 (2_EarlyFusion_train.py:311-312) — logging only
+    if settings.pre_training_eval and start_epoch == 0:
+        for split in settings.eval_splits_during_training:
+            if split in datasets:
+                sl, _, _ = evaluate(
+                    adapter, {"params": params, **(
+                        {"batch_stats": batch_stats}
+                        if batch_stats is not None else {}
+                    )}, datasets[split], settings,
+                    split=split, epoch=-1, writer=writer,
+                )
+                print(f"{split.upper()} Loss: {sl:.4f}")
+
     for epoch in range(start_epoch, settings.num_epochs):
         print(f"Epoch {epoch}/{settings.num_epochs - 1}")
         print("-" * 10)
         if hasattr(datasets["train"], "shuffle"):
             datasets["train"].shuffle()
 
-        running_loss, seen = 0.0, 0
+        running_loss, seen = 0.0, 0.0
+        last_running_loss, last_seen = 0.0, 0.0
         pending_losses: list = []
         t_last = time.time()
         for batch in datasets["train"].batches(
@@ -398,28 +423,44 @@ def train_model(
             # defer host syncs: fetching float(loss) every step would block
             # dispatch of the next step (device round-trip per step); losses
             # drain at log_interval / epoch end, keeping dispatch async
-            bsz = int(np.asarray(batch[adapter.sample_mask_key]).sum())
-            pending_losses.append((loss, bsz, step))
+            mask_np = np.asarray(batch[adapter.sample_mask_key])
+            if settings.running_loss_weight == "events":
+                # parity: GeneExpress/EarlyFusion weight the logged loss by
+                # the event count (1_GeneExpress_train.py:166-171)
+                w = float(
+                    (np.asarray(batch["vital_status"], np.float64)
+                     * mask_np).sum()
+                )
+            else:
+                w = float(mask_np.sum())
+            pending_losses.append((loss, w, step))
             if step % settings.log_interval == 0:
                 running_loss, seen = _drain_losses(
                     pending_losses, running_loss, seen, settings, epoch
                 )
+                # parity: the printed loss is a WINDOWED average over the
+                # batches since the last log line, not cumulative
+                # (2_HistoPath_train.py:346-358 resets inputs_seen per log)
+                window = running_loss - last_running_loss
+                window_seen = seen - last_seen
+                last_running_loss, last_seen = running_loss, seen
+                loss_to_log = window / max(window_seen, 1e-9)
                 speed = settings.log_interval * settings.batch_size / (
                     time.time() - t_last
                 )
                 t_last = time.time()
                 print(
                     f"train | epoch {epoch} | step {step} | "
-                    f"loss {running_loss / max(seen, 1):10.3f} |{speed:10.3f} bags/s"
+                    f"loss {loss_to_log:10.3f} |{speed:10.3f} bags/s"
                 )
                 if writer is not None:
-                    writer.scalar("train/loss", running_loss / max(seen, 1), step)
+                    writer.scalar("train/loss", loss_to_log, step)
                     writer.scalar("train/bags_per_s", speed, step)
 
         running_loss, seen = _drain_losses(
             pending_losses, running_loss, seen, settings, epoch
         )
-        print(f"EPOCH Loss: {running_loss / max(seen, 1):.4f}")
+        print(f"EPOCH Loss: {running_loss / max(seen, 1e-9):.4f}")
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -454,6 +495,9 @@ def train_model(
         variables["batch_stats"] = batch_stats
     if ckpt is not None:
         ckpt.save(os.path.join(settings.save_dir, "model_last"), variables)
+        # saves are async (train/checkpoint.py); settle them before the final
+        # evals so `model_dict_best` is definitely on disk for the restore
+        ckpt.wait()
 
     # final evals: last + best on train/val/test with CSV artifacts
     outputs: dict[str, Any] = {}

@@ -242,6 +242,16 @@ class ResNet(nn.Module):
 
         Parity with ``forward_extract`` (reference ``resnet.py:151-165``).
         """
+        # in_channels is a contract, not a suggestion: the RNfour/RNone
+        # variants (reference resnet.py:167-315) hard-code their conv1 width,
+        # and a silently-accepted wrong channel count would train a fresh
+        # incompatible stem. Shapes are static under jit, so this is free.
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"{type(self).__name__} was built for in_channels="
+                f"{self.in_channels} but got input with {x.shape[-1]} "
+                f"channels (shape {x.shape})"
+            )
         x = x.astype(self.dtype)
         y = self.conv1(x)
         y = self.bn1(y, use_running_average=not train)

@@ -123,6 +123,63 @@ class ImageSlide:
         return out
 
 
+class PyramidTiffSlide:
+    """OpenSlide-compatible reader for multi-page pyramidal TIFFs via PIL.
+
+    Covers the reference's real input class — Aperio ``.svs`` files are
+    pyramidal TIFFs — when the OpenSlide C library is absent. Implements the
+    subset of the OpenSlide API the tiler uses (``1_WSI2Patches.py:70,98-104``):
+
+    - ``level_dimensions``: per-page ``(width, height)``, page 0 = full res;
+    - ``properties['aperio.AppMag']`` parsed from the Aperio-style
+      ImageDescription tag (``|AppMag = 40|`` fields);
+    - ``read_region((x, y), level, (w, h))`` with **level-0 coordinates** for
+      ``(x, y)`` and level coordinates for the size, zero-padded at edges —
+      OpenSlide semantics exactly.
+    """
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        self._levels: list[np.ndarray] = []
+        description = ""
+        with Image.open(path) as im:
+            n = getattr(im, "n_frames", 1)
+            description = str(im.tag_v2.get(270, "")) if hasattr(im, "tag_v2") else ""
+            for page in range(n):
+                im.seek(page)
+                self._levels.append(np.asarray(im.convert("RGB")))
+        # pages sorted full-res first (openslide guarantees this ordering)
+        self._levels.sort(key=lambda a: -a.shape[0] * a.shape[1])
+        self.level_dimensions = [
+            (lvl.shape[1], lvl.shape[0]) for lvl in self._levels
+        ]
+        self.properties = self._parse_aperio(description)
+
+    @staticmethod
+    def _parse_aperio(description: str) -> dict:
+        props: dict = {}
+        for field in description.split("|"):
+            if "=" in field:
+                k, _, v = field.partition("=")
+                props[f"aperio.{k.strip()}"] = v.strip()
+        return props
+
+    def read_region(self, xy, level, size):
+        x0, y0 = xy  # level-0 coordinates (openslide convention)
+        w, h = size  # level coordinates
+        lvl = self._levels[level]
+        ds_x = self.level_dimensions[0][0] / self.level_dimensions[level][0]
+        ds_y = self.level_dimensions[0][1] / self.level_dimensions[level][1]
+        x, y = int(x0 / ds_x), int(y0 / ds_y)
+        out = np.zeros((h, w, 3), np.uint8)
+        ys, xs = lvl.shape[:2]
+        if y < ys and x < xs:
+            y1, x1 = min(y + h, ys), min(x + w, xs)
+            out[: y1 - y, : x1 - x] = lvl[y:y1, x:x1]
+        return out
+
+
 def open_slide(path: str):
     if path.lower().endswith((".svs", ".ndpi", ".mrxs", ".tiff", ".tif")):
         try:
@@ -131,6 +188,12 @@ def open_slide(path: str):
             return OpenSlide(path)
         except ImportError:
             pass
+        try:
+            slide = PyramidTiffSlide(path)
+            if len(slide.level_dimensions) > 1:
+                return slide  # real pyramid: keep openslide-like levels
+        except Exception:
+            pass  # not a TIFF PIL can read; fall through to cv2
     return ImageSlide(path)
 
 

@@ -277,3 +277,110 @@ def test_abandoned_batches_generator_releases_producer(patch_root):
         if t.ident not in before and t.is_alive()
     ]
     assert leaked == []
+
+
+# ---------- pyramidal TIFF (.svs-style) tiling with AppMag resize ----------
+
+
+def _write_pyramid_tiff(path, full, app_mag):
+    """2-level pyramidal TIFF with an Aperio-style ImageDescription, the
+    structure of a real .svs (1_WSI2Patches.py:70,98-104)."""
+    from PIL import Image
+
+    desc = (
+        f"Aperio Image Library v12.0.15\n{full.shape[1]}x{full.shape[0]} "
+        f"| AppMag = {app_mag}|MPP = 0.2498|"
+    )
+    Image.fromarray(full).save(
+        path, format="TIFF", save_all=True,
+        append_images=[Image.fromarray(np.ascontiguousarray(full[::4, ::4]))],
+        description=desc,
+    )
+
+
+def _pyramid_slide(tmp_path, app_mag):
+    rng = np.random.default_rng(1)
+    full = np.full((768, 1024, 3), 255, np.uint8)
+    noise = rng.integers(0, 60, size=(512, 768, 3), dtype=np.uint8)
+    full[128:640, 128:896] = np.array([200, 120, 160], np.uint8) - noise // 2
+    path = str(tmp_path / "P1.svs")
+    _write_pyramid_tiff(path, full, app_mag)
+    return path, full
+
+
+def test_pyramid_tiff_slide_reader(tmp_path):
+    from multimodalbrainsurvival_tpu.data.tiler import PyramidTiffSlide, open_slide
+
+    path, full = _pyramid_slide(tmp_path, app_mag=40)
+    slide = open_slide(path)
+    assert isinstance(slide, PyramidTiffSlide)  # openslide absent here
+    assert slide.level_dimensions == [(1024, 768), (256, 192)]
+    assert slide.properties["aperio.AppMag"] == "40"
+    # openslide read_region semantics: level-0 coords, level-local size
+    np.testing.assert_array_equal(
+        slide.read_region((128, 256), 0, (64, 64)),
+        full[256:320, 128:192],
+    )
+    np.testing.assert_array_equal(
+        slide.read_region((128, 256), 1, (16, 16)),
+        full[::4, ::4][64:80, 32:48],
+    )
+    # edge reads zero-pad like openslide
+    edge = slide.read_region((1024 - 32, 768 - 32), 0, (64, 64))
+    assert edge[:32, :32].any() and not edge[32:, 32:].any()
+
+
+def test_pyramid_tiling_appmag40_resizes(tmp_path):
+    """The AppMag-40 path (1_WSI2Patches.py:98-121): stride and read size are
+    resize_factor*patch_size at level 0; outputs are resized to patch_size."""
+    import cv2
+
+    from multimodalbrainsurvival_tpu.data.tiler import TileConfig, extract_patches
+
+    path, full = _pyramid_slide(tmp_path, app_mag=40)
+    patch_path, mask_path = str(tmp_path / "p"), str(tmp_path / "m")
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=50)
+    n = extract_patches(path, patch_path, mask_path, cfg)
+    assert n > 0
+
+    # mask computed from the LOW-RES pyramid level, stored x-major
+    mask = np.load(os.path.join(mask_path, "P1", "mask.npy"))
+    assert mask.shape == (256, 192)
+
+    lines = open(os.path.join(patch_path, "P1", "loc.txt")).read().splitlines()
+    for ln in lines[2:]:
+        i, x, y, level, size_read, size_out = (int(v) for v in ln.split())
+        # resize_factor = 40/20 = 2 → read 128 at level 0, grid stride 128
+        assert level == 0 and size_read == 128 and size_out == 128
+        assert x % 128 == 0 and y % 128 == 0
+        png = cv2.imread(
+            os.path.join(patch_path, "P1", f"P1_patch_{i}.png")
+        )[:, :, ::-1]
+        assert png.shape == (64, 64, 3)
+        # the written patch IS the level-0 region resized 2× down
+        expected = cv2.resize(
+            full[y : y + 128, x : x + 128], (64, 64),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        np.testing.assert_array_equal(png, expected)
+
+
+def test_pyramid_tiling_dezoom_cancels_appmag(tmp_path):
+    """dezoom_factor=0.5 at AppMag 40 → resize_factor 1: native-size reads,
+    no resize (1_WSI2Patches.py:99-104,120-121)."""
+    import cv2
+
+    from multimodalbrainsurvival_tpu.data.tiler import TileConfig, extract_patches
+
+    path, full = _pyramid_slide(tmp_path, app_mag=40)
+    patch_path, mask_path = str(tmp_path / "p2"), str(tmp_path / "m2")
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=10, dezoom_factor=0.5)
+    n = extract_patches(path, patch_path, mask_path, cfg)
+    assert n > 0
+    lines = open(os.path.join(patch_path, "P1", "loc.txt")).read().splitlines()
+    i, x, y, level, size_read, _ = (int(v) for v in lines[2].split())
+    assert size_read == 64 and x % 64 == 0
+    png = cv2.imread(
+        os.path.join(patch_path, "P1", f"P1_patch_{i}.png")
+    )[:, :, ::-1]
+    np.testing.assert_array_equal(png, full[y : y + 64, x : x + 64])

@@ -1,5 +1,6 @@
 """Parallel layer on the virtual 8-device CPU mesh."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,3 +149,44 @@ def test_dp_training_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=scale * 1e-5
         )
+
+
+def test_two_process_distributed_mesh():
+    """Multi-host smoke test (VERDICT r1 item 9): two OS processes join via
+    jax.distributed (the library's initialize_distributed wrapper,
+    parallel/mesh.py), build one make_mesh spanning both, and run a jitted
+    cross-process reduction. Exercises the DCN path of SURVEY.md §2.2."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = dict(os.environ)
+    # workers manage their own platform/device-count; don't inherit the
+    # 8-device virtual-mesh flag the test session sets
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert any("MULTIHOST OK pid=0" in o for o in outs), outs
+    assert any("MULTIHOST OK pid=1" in o for o in outs), outs

@@ -5,6 +5,12 @@ bf16 ResNet-50 forward+backward with mutable BN stats, Cox loss with its
 batch-global risk set, torch-semantics Adam update — as one jitted program,
 iterated inside jit (anti-CSE) so host dispatch is excluded.
 
+``--n_layers_to_train`` applies the reference's freeze ladder
+(default 2 = [fc, layer4] + aggregator, ``config_ffpe_train.json``): frozen
+params are stop_gradient'd exactly as in ``train/loop.py``, so — like
+torch's requires_grad=False — no backward runs below the trained layers.
+Pass 6 to train (and backprop through) the whole network.
+
 The reference prints ``bags/s`` from its CUDA training loop
 (``2_HistoPath_train.py:350,360-364``); no number ships in the repo, so this
 is our measured figure for the same quantity.
@@ -26,6 +32,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--bag", type=int, default=4)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--n_layers_to_train", type=int, default=2)
     a = p.parse_args(argv)
 
     import jax
@@ -37,7 +44,11 @@ def main(argv=None):
     )
     from multimodalbrainsurvival_tpu.ops import cox_partial_likelihood_loss
     from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
-    from multimodalbrainsurvival_tpu.train.optim import torch_adam
+    from multimodalbrainsurvival_tpu.train.optim import (
+        build_grouped_optimizer,
+        mil_freeze_ladder,
+        torch_adam,
+    )
 
     model = AggregationModel(
         resnet=resnet50(dtype=jnp.bfloat16),
@@ -57,8 +68,18 @@ def main(argv=None):
         jax.random.PRNGKey(0), jnp.zeros((1, 1, 224, 224, 3), jnp.bfloat16),
         train=False,
     )
-    tx = torch_adam(5e-4, 1e-5)
+    tx, labels = build_grouped_optimizer(
+        variables["params"],
+        [("train", mil_freeze_ladder(a.n_layers_to_train),
+          torch_adam(5e-4, 1e-5))],
+    )
     opt_state = tx.init(variables["params"])
+
+    def tie_off(p):
+        return jax.tree.map(
+            lambda leaf, lab: jax.lax.stop_gradient(leaf)
+            if lab == "_frozen" else leaf, p, labels,
+        )
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1, 2))
     def train_n(params, batch_stats, opt_state, x, key, n):
@@ -67,6 +88,7 @@ def main(argv=None):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
 
             def loss_fn(p):
+                p = tie_off(p)
                 h = preprocess_patches(
                     x ^ i.astype(jnp.uint8), train=True, key=k1,
                     dtype=jnp.bfloat16,

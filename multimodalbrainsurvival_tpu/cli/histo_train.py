@@ -158,10 +158,12 @@ def main(argv=None):
     )
 
     ladder = mil_freeze_ladder(config.n_layers_to_train)
-    tx, _ = build_grouped_optimizer(
+    tx, labels = build_grouped_optimizer(
         variables["params"],
         [("train", ladder, torch_adam(float(config["lr"]), config.weight_decay))],
     )
+    # frozen layers skip backward entirely (torch requires_grad=False parity)
+    settings.param_labels = labels
 
     train_model(adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)

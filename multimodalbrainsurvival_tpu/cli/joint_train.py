@@ -60,8 +60,7 @@ def build_joint_optimizer(params, config):
         ("mlp", path_prefix_match("final"),
          torch_adam(float(config["lr_mlp"]), wd)),
     ]
-    tx, labels = build_grouped_optimizer(params, groups)
-    return tx
+    return build_grouped_optimizer(params, groups)
 
 
 def build_joint_datasets(config, quick: bool):
@@ -133,7 +132,9 @@ def main(argv=None):
     variables = maybe_restore(variables, config, ckpt,
                               keys=("restore_path", "model_path"))
 
-    tx = build_joint_optimizer(variables["params"], config)
+    tx, labels = build_joint_optimizer(variables["params"], config)
+    # frozen layers skip backward entirely (torch requires_grad=False parity)
+    settings.param_labels = labels
     train_model(adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)
     if writer is not None:

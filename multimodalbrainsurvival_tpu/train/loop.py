@@ -82,6 +82,15 @@ class TrainSettings:
     #   Logging-only — training dynamics are identical either way.
     pre_training_eval: bool = False
     running_loss_weight: str = "samples"  # "samples" | "events"
+    # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
+    # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
+    # entire backward — the exact analog of the reference's
+    # requires_grad=False freeze (2_HistoPath_train.py:544-551), where torch
+    # never runs backward below the trained layers. Without this the step
+    # computes the full-network backward and multiplies the frozen updates
+    # by zero (measured 2.7x slower at the reference default
+    # n_layers_to_train=2). Numerically identical either way.
+    param_labels: Any = None
 
 
 def make_loss_fn(settings: TrainSettings):
@@ -287,8 +296,19 @@ def train_model(
     batch_stats = variables.get("batch_stats")
     opt_state = tx.init(params)
 
+    if settings.param_labels is not None:
+        def _tie_off_frozen(params):
+            return jax.tree.map(
+                lambda p, lab: jax.lax.stop_gradient(p)
+                if lab == "_frozen" else p,
+                params, settings.param_labels,
+            )
+    else:
+        def _tie_off_frozen(params):
+            return params
+
     def _forward_loss(params, batch_stats, arrays, step_rng):
-        v = {"params": params}
+        v = {"params": _tie_off_frozen(params)}
         if batch_stats is not None:
             v["batch_stats"] = batch_stats
         out, new_stats = adapter.apply(v, arrays, train=True, rng=step_rng)

@@ -283,3 +283,58 @@ def test_pre_training_eval_logs_epoch_minus_one(tmp_path, capsys):
     assert "epoch -1" in out
     # the epoch -1 eval precedes the first training epoch
     assert out.index("epoch -1") < out.index("Epoch 0")
+
+
+def test_frozen_param_labels_do_not_change_training(tmp_path, capsys):
+    """param_labels stop_gradients frozen leaves so XLA skips their backward
+    (torch requires_grad=False parity, 2_HistoPath_train.py:544-551). The
+    optimization must be a pure no-op numerically: identical params after
+    training with and without it."""
+    from multimodalbrainsurvival_tpu.data.tables import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, train_model
+
+    csv = tmp_path / "f.csv"
+    make_survival_csv(str(csv), [f"c{i}" for i in range(16)], n_rna=8, seed=5)
+    ds = RNATableDataset(str(csv))
+
+    def run(with_labels):
+        adapter = TableAdapter(
+            model=RNAOnlyModel(
+                encoder=RNAEncoder(hidden_dims=(8, 4), dropout=0.0)
+            )
+        )
+        # freeze the encoder, train only the head — like the MIL ladder
+        tx, labels = build_grouped_optimizer(
+            _probe_params(adapter, ds),
+            [("head", path_prefix_match("final"), torch_adam(1e-2))],
+        )
+        settings = TrainSettings(
+            num_epochs=2, batch_size=8, log_interval=100, seed=3,
+            eval_splits_during_training=(),
+            param_labels=labels if with_labels else None,
+        )
+        variables, _, _ = train_model(
+            adapter, {"train": ds, "val": ds}, tx, settings
+        )
+        return variables["params"]
+
+    def _probe_params(adapter, ds):
+        probe = next(ds.batches(8))
+        v = adapter.init(
+            jax.random.PRNGKey(3),
+            {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+        )
+        return v["params"]
+
+    p_fast, p_ref = run(True), run(False)
+    capsys.readouterr()
+    flat_fast = jax.tree_util.tree_leaves_with_path(p_fast)
+    flat_ref = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(p_ref)}
+    for k, v in flat_fast:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_ref[jax.tree_util.keystr(k)]),
+            err_msg=str(k),
+        )

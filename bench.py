@@ -5,14 +5,22 @@ inference throughput. The measured path is the real serving path of
 ``cli/histo_extractfeatures.py``: uint8 patches → on-device normalize →
 bf16 NHWC ResNet-50 ``extract`` → 2048-d embeddings.
 
-Baseline denominator: the reference repo publishes no numbers (BASELINE.md),
-so the 1× denominator is measured here by running the REFERENCE's own
-``1_HistoPathology/resnet.py`` torch model (imported read-only from
-/root/reference, float32, eval mode) on this host's CPU — the only hardware
-both stacks can run on in this container. The denominator is cached in
-``.bench_baseline.json`` after first measurement.
+``vs_baseline`` denominator: an accelerator-class reference point — the
+MLPerf Inference v3.1 TPU v5e ResNet-50 offline result, ≈4,630 samples/s
+per chip (public MLPerf closed-division results; approximate, cited from
+memory in this zero-egress container — see BASELINE.md). The JSON also
+carries two self-contained quantities so the line is interpretable without
+external context:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- ``mfu``: model FLOPs utilization = rate × 4.089 GFLOP/patch (the
+  canonical analytic ResNet-50 forward count) / 197 TFLOP/s (the public
+  TPU v5e bf16 peak);
+- ``vs_reference_torch_cpu``: the measured reference torch model on this
+  host's single CPU core (the only hardware both stacks share here; a very
+  soft denominator, reported for completeness, cached in
+  ``.bench_baseline.json``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -71,7 +79,7 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
-    best = 0.0
+    best, best_bs = 0.0, batch_sizes[0]
     for bs in batch_sizes:
         x = jax.device_put(
             rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
@@ -82,7 +90,9 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
         print(f"# batch {bs}: {rate:.1f} patches/s", file=sys.stderr)
-        best = max(best, rate)
+        if rate > best:
+            best, best_bs = rate, bs
+
     return best
 
 
@@ -114,7 +124,20 @@ def measure_reference_torch_cpu(batch=32, iters=4) -> float:
 LAST = os.path.join(REPO, ".bench_last.json")
 
 
-def _measure_with_watchdog(timeout_s: float = 1500.0) -> float:
+# accelerator-class 1×: MLPerf Inference v3.1, Google TPU v5e, ResNet-50
+# offline, per-chip (public closed-division results; approximate — this
+# container has zero egress, so the figure is cited from memory and labeled
+# as such in the JSON). v5e bf16 peak is the public spec sheet number.
+MLPERF_V5E_RESNET50_PER_CHIP = 4630.0
+V5E_PEAK_BF16_FLOPS = 197e12
+# canonical analytic ResNet-50 forward cost at 224²: 2 × ~2.04 GMACs.
+# (XLA's compiled cost_analysis reports ~7.9e9 for this program — it counts
+# the bf16 conv lowering differently — so the standard literature count is
+# used for an MFU comparable to published figures.)
+RESNET50_FLOPS_PER_PATCH = 4.089e9
+
+
+def _measure_with_watchdog(timeout_s: float = 1500.0):
     """TPU chip claims intermittently stall for tens of minutes on this
     platform; run the measurement on a watchdog so the bench always emits
     its JSON line (falling back to the last successful measurement)."""
@@ -145,9 +168,9 @@ def _measure_with_watchdog(timeout_s: float = 1500.0) -> float:
           file=sys.stderr)
     if os.path.isfile(LAST):
         with open(LAST) as f:
-            cached = json.load(f)["patches_per_sec"]
+            cached = json.load(f)
         print("# falling back to last successful measurement", file=sys.stderr)
-        return cached
+        return cached["patches_per_sec"]
     return float("nan")
 
 
@@ -167,14 +190,28 @@ def main():
                              "this host (no CUDA available)"},
                     f,
                 )
-    vs = tpu_rate / base if np.isfinite(base) and base > 0 else float("nan")
+    vs_cpu = tpu_rate / base if np.isfinite(base) and base > 0 else float("nan")
+    vs_mlperf = tpu_rate / MLPERF_V5E_RESNET50_PER_CHIP
+    mfu = tpu_rate * RESNET50_FLOPS_PER_PATCH / V5E_PEAK_BF16_FLOPS
+
+    def _r(x, nd=2):
+        return round(x, nd) if np.isfinite(x) else None
+
     print(
         json.dumps(
             {
                 "metric": "resnet50_extractfeatures_throughput",
-                "value": round(tpu_rate, 1) if np.isfinite(tpu_rate) else None,
+                "value": _r(tpu_rate, 1),
                 "unit": "patches/sec/chip",
-                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+                "vs_baseline": _r(vs_mlperf),
+                "baseline": "MLPerf Inference v3.1 TPU v5e ResNet-50 offline "
+                            f"~{MLPERF_V5E_RESNET50_PER_CHIP:.0f}/s/chip "
+                            "(approx; zero-egress container, cited from "
+                            "public results — BASELINE.md)",
+                "mfu": _r(mfu, 3),
+                "flops_per_patch": RESNET50_FLOPS_PER_PATCH,
+                "peak_bf16_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
+                "vs_reference_torch_1core_cpu": _r(vs_cpu),
             }
         )
     )

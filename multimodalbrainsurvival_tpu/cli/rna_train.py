@@ -33,10 +33,8 @@ from multimodalbrainsurvival_tpu.train.optim import (
 
 
 def build_rna_model(config=None) -> RNAOnlyModel:
-    use_pallas = bool(config.get("use_pallas", False)) if config else False
-    return RNAOnlyModel(
-        encoder=RNAEncoder(hidden_dims=(4096, 2048), use_pallas=use_pallas)
-    )
+    del config  # reference schema: 12778 -> 4096 -> 2048 fixed
+    return RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4096, 2048)))
 
 
 def build_rna_optimizer(params, config):

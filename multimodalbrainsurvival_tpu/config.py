@@ -33,7 +33,7 @@ KNOWN_KEYS = {
     "model_path", "restore_path", "histo_restore_path", "rna_restore_path",
     # TPU-native extensions (not in reference)
     "compute_dtype", "reference_parity", "mesh", "log_interval",
-    "keep_bag_remainder", "num_devices", "resume", "use_pallas", "fold_bn",
+    "keep_bag_remainder", "num_devices", "resume", "fold_bn",
 }
 
 

@@ -19,70 +19,26 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-class FusedDropoutDense(nn.Module):
-    """Dropout→Dense with the mask fused into the matmul (Pallas kernel).
-
-    Param tree is identical to ``nn.Dense`` ({kernel, bias}, same inits), so
-    instances named ``dense_<i>`` are checkpoint-compatible with the stock
-    path. Eval mode is a plain matmul; train mode calls
-    ``ops/pallas/dropout_matmul`` with a seed derived from the ``dropout``
-    RNG stream.
-    """
-
-    features: int
-    dropout: float = 0.5
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, y, train: bool = False):
-        import jax
-
-        from multimodalbrainsurvival_tpu.ops.pallas import dropout_matmul
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (y.shape[-1], self.features),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if train and self.dropout > 0.0:
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (), 0, 2**31 - 1
-            )
-            out = dropout_matmul(
-                y.astype(self.dtype), kernel.astype(self.dtype), seed,
-                self.dropout,
-            )
-        else:
-            out = y.astype(self.dtype) @ kernel.astype(self.dtype)
-        return (out + bias).astype(self.dtype)
-
-
 class RNAEncoder(nn.Module):
-    """``use_pallas=True`` routes the training-mode dropout+matmul through the
-    fused Pallas kernel (``ops/pallas/dropout_matmul.py``): the dropout mask
-    is generated inside the matmul tiles instead of being materialized in
-    HBM. Parameters are identical either way, so the flag can be flipped on
-    an existing checkpoint.
+    """Dropout → Dense stack; the hot matmuls are plain MXU work.
+
+    A fused Pallas dropout-matmul variant existed through round 1 but
+    measured BELOW stock XLA at the weight-load-bound RNA shapes
+    (9.5 vs 8.5 TFLOP/s bf16 at M=256 — the op is bound by streaming the
+    105 MB weight, which no amount of mask fusion changes), so it was
+    removed per the round-1 verdict (docs/DESIGN.md item 7).
     """
 
     hidden_dims: Sequence[int] = (4096, 2048)
     dropout: float = 0.5
     dtype: Any = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = x.astype(self.dtype)
         for i, h in enumerate(self.hidden_dims):
-            if self.use_pallas:
-                y = FusedDropoutDense(
-                    h, dropout=self.dropout, dtype=self.dtype,
-                    name=f"dense_{i}",
-                )(y, train=train)
-            else:
-                y = nn.Dropout(self.dropout, deterministic=not train)(y)
-                y = nn.Dense(h, dtype=self.dtype, name=f"dense_{i}")(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = nn.Dense(h, dtype=self.dtype, name=f"dense_{i}")(y)
             if i + 1 < len(self.hidden_dims):
                 y = nn.relu(y)
         return y.astype(jnp.float32)

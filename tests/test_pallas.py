@@ -1,62 +1,10 @@
-"""Pallas fused dropout-matmul kernel (CPU interpreter mode)."""
+"""Pallas kernels (CPU interpreter mode): attention pool + fused stage."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodalbrainsurvival_tpu.ops.pallas import (
-    apply_seeded_dropout,
-    dropout_matmul,
-)
-
 RNG = np.random.default_rng(0)
-X = jnp.asarray(RNG.normal(size=(100, 700)).astype(np.float32))
-W = jnp.asarray(RNG.normal(size=(700, 300)).astype(np.float32))
-
-
-def test_p0_is_exact_matmul():
-    y = dropout_matmul(X, W, 0, 0.0, True)
-    np.testing.assert_allclose(
-        np.asarray(y), np.asarray(X @ W), rtol=1e-4, atol=1e-3
-    )
-
-
-def test_mask_consistency_with_regeneration():
-    """Fused result == (regenerated masked x) @ W — the backward-pass contract."""
-    y = dropout_matmul(X, W, 123, 0.5, True)
-    xm = apply_seeded_dropout(X, 123, p_drop=0.5, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(y), np.asarray(xm @ W), rtol=1e-4, atol=1e-3
-    )
-
-
-def test_keep_fraction_and_scaling():
-    xm = apply_seeded_dropout(jnp.ones((256, 1024)), 9, p_drop=0.5,
-                              interpret=True)
-    kept = np.asarray(xm) != 0
-    assert abs(kept.mean() - 0.5) < 0.02
-    np.testing.assert_allclose(np.asarray(xm)[kept], 2.0, rtol=1e-6)
-
-
-def test_deterministic_and_seed_sensitivity():
-    a = dropout_matmul(X, W, 5, 0.5, True)
-    b = dropout_matmul(X, W, 5, 0.5, True)
-    c = dropout_matmul(X, W, 6, 0.5, True)
-    assert bool(jnp.all(a == b))
-    assert not bool(jnp.all(a == c))
-
-
-def test_custom_vjp_grads():
-    def loss(x, w):
-        return dropout_matmul(x, w, 7, 0.5, True).sum()
-
-    gx, gw = jax.grad(loss, argnums=(0, 1))(X, W)
-    g = jnp.ones((X.shape[0], W.shape[1]))
-    xm = apply_seeded_dropout(X, 7, p_drop=0.5, interpret=True)
-    gx_want = apply_seeded_dropout(g @ W.T, 7, p_drop=0.5, interpret=True)
-    gw_want = xm.T @ g
-    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_want), rtol=1e-5)
 
 
 def test_fused_attention_pool_matches_module_composition():
@@ -123,10 +71,72 @@ def test_fused_attention_pool_no_mask():
     assert out.shape == (2, 128)
 
 
-def test_unaligned_shapes_padded_correctly():
-    x = jnp.asarray(RNG.normal(size=(7, 130)).astype(np.float32))
-    w = jnp.asarray(RNG.normal(size=(130, 17)).astype(np.float32))
-    y = dropout_matmul(x, w, 0, 0.0, True)
-    assert y.shape == (7, 17)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w), rtol=1e-4,
-                               atol=1e-3)
+# ---------- fused bottleneck stage (serving path) ----------
+
+
+def test_fused_bottleneck_stage_matches_xla_blocks():
+    """Kernel math check on small shapes: chain of two folded bottleneck
+    blocks (first with projection residual) vs plain jnp ops."""
+    from multimodalbrainsurvival_tpu.ops.pallas.fused_stage import (
+        fused_bottleneck_stage,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, cin, cm, cout = 2, 8, 8, 16, 8, 32
+
+    def mk(shape):
+        return jnp.asarray(rng.normal(size=shape, scale=0.2).astype(np.float32))
+
+    blocks = []
+    for j in range(2):
+        blk = {
+            "w1": mk((1, 1, cin if j == 0 else cout, cm)), "b1": mk((cm,)),
+            "w2": mk((3, 3, cm, cm)), "b2": mk((cm,)),
+            "w3": mk((1, 1, cm, cout)), "b3": mk((cout,)),
+        }
+        if j == 0:
+            blk["wd"], blk["bd"] = mk((1, 1, cin, cout)), mk((cout,))
+        blocks.append(blk)
+    x = mk((B, H, W, cin))
+
+    def conv(x, w, b, padding="SAME"):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + b
+
+    ref = x
+    for j, blk in enumerate(blocks):
+        y = jax.nn.relu(conv(ref, blk["w1"], blk["b1"]))
+        y = jax.nn.relu(conv(y, blk["w2"], blk["b2"], ((1, 1), (1, 1))))
+        y = conv(y, blk["w3"], blk["b3"])
+        r = conv(ref, blk["wd"], blk["bd"]) if "wd" in blk else ref
+        ref = jax.nn.relu(y + r)
+
+    got = fused_bottleneck_stage(x, blocks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_folded_extract_matches_stock():
+    """The kernel-accelerated serving forward (models/serving.py) equals the
+    stock folded ResNet-50 extract (f32, interpret mode; the bf16 on-chip
+    check lives in the serving bench)."""
+    from multimodalbrainsurvival_tpu.models import resnet50
+    from multimodalbrainsurvival_tpu.models.folding import fold_resnet_variables
+    from multimodalbrainsurvival_tpu.models.serving import fused_folded_extract
+
+    stock = resnet50(dtype=jnp.float32)
+    v = fold_resnet_variables(
+        stock.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+        )
+    )
+    model = resnet50(dtype=jnp.float32, fold_bn=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+    ref = model.apply(v, x, train=False, method="extract")
+    got = fused_folded_extract(v, x, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-6 * max(scale, 1.0)
+    )

@@ -1,0 +1,104 @@
+"""HistoPathology pipeline e2e through the real CLI mains:
+train (Cox) -> savescore -> extractfeatures (with fold_bn serving).
+
+Parity surface: ``2_HistoPath_train.py`` / ``3_HistoPath_savescore.py`` /
+``4_HistoPath_extractfeatures.py`` artifact contracts. Fast in-suite
+version (resnet18, 32x32 patches); the full-size chain runs in
+examples/full_chain_demo.py.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+
+
+@pytest.fixture
+def histo_experiment(tmp_path):
+    root = tmp_path / "patches"
+    wsis = [f"H{i}" for i in range(4)]
+    for i, w in enumerate(wsis):
+        make_patch_dir(str(root), w, 6, img_size=32, seed=10 + i)
+    for split, idx in [("train", [0, 1, 2, 3]), ("val", [0, 1]), ("test", [2, 3])]:
+        make_survival_csv(
+            str(tmp_path / f"ffpe_{split}.csv"),
+            [f"c{i}" for i in idx],
+            wsi_names=[f"{wsis[i]}.svs" for i in idx],
+            seed=7 + len(idx),
+        )
+    cfg = {
+        "model_name": "resnet18", "num_classes": 1, "batch_size": 4,
+        "use_cuda": False, "data_path": str(root),
+        "train_csv_path": str(tmp_path / "ffpe_train.csv"),
+        "val_csv_path": str(tmp_path / "ffpe_val.csv"),
+        "test_csv_path": str(tmp_path / "ffpe_test.csv"),
+        "num_workers": 1, "num_epochs": 2, "img_size": 32,
+        "lr": 5e-4, "weight_decay": 1e-5, "pretrained": False,
+        "train_bag_size": 2, "val_bag_size": 2,
+        "aggregator": "identity", "aggregator_hdim": 512,
+        "task": "survival_prediction", "n_layers_to_train": 2,
+        "flag": "ffpe_model",
+        "max_patch_per_wsi_train": 4, "max_patch_per_wsi_val": 4,
+        "checkpoint_path": str(tmp_path / "out") + "/",
+        "summary_path": str(tmp_path / "out/summary") + "/",
+        "model_path": "", "restore_path": "",
+    }
+    p = tmp_path / "config_ffpe_train.json"
+    p.write_text(json.dumps(cfg))
+    return tmp_path, cfg, p
+
+
+def test_histo_cli_end_to_end(histo_experiment):
+    tmp_path, cfg, cfg_path = histo_experiment
+    from multimodalbrainsurvival_tpu.cli import (
+        histo_extractfeatures,
+        histo_savescore,
+        histo_train,
+    )
+
+    histo_train.main(["--config", str(cfg_path)])
+    save_dir = tmp_path / "out/models/ffpe_model"
+    assert (save_dir / "model_last").is_dir()
+    frame = pd.read_csv(tmp_path / "out/outputs/ffpe_model/val_output_last.csv")
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+    cfg2 = dict(cfg)
+    cfg2["model_path"] = str(save_dir / "model_last")
+    cfg2["output_path"] = str(tmp_path / "scores") + "/"
+    p2 = tmp_path / "cfg_savescore.json"
+    p2.write_text(json.dumps(cfg2))
+    histo_savescore.main(["--config", str(p2)])
+    # reference naming: <model>_pathology_<split>[_cv]_df.csv (:344-349)
+    score_files = [f for f in os.listdir(tmp_path / "scores") if "val" in f]
+    assert score_files, "histo savescore wrote no val score frame"
+
+    # extractfeatures with folded-BN serving (fold_bn config key)
+    cfg3 = dict(cfg2)
+    cfg3["output_path"] = str(tmp_path / "feats") + "/"
+    cfg3["fold_bn"] = True
+    p3 = tmp_path / "cfg_extract.json"
+    p3.write_text(json.dumps(cfg3))
+    histo_extractfeatures.main(["--config", str(p3)])
+    feats = np.loadtxt(tmp_path / "feats/pathology_features_val.csv",
+                       delimiter=",")
+    # reference writes pd.DataFrame(cases).to_csv(...) with header+index
+    # (4_HistoPath_extractfeatures.py:186-188)
+    cases = pd.read_csv(tmp_path / "feats/pathology_cases_val.csv", index_col=0)
+    assert feats.shape == (len(cases), 512)  # resnet18 feature_dim
+    assert np.isfinite(feats).all()
+
+    # folding must not change the embeddings (vs unfolded serving)
+    cfg4 = dict(cfg3)
+    cfg4["output_path"] = str(tmp_path / "feats_nofold") + "/"
+    cfg4["fold_bn"] = False
+    p4 = tmp_path / "cfg_extract_nofold.json"
+    p4.write_text(json.dumps(cfg4))
+    histo_extractfeatures.main(["--config", str(p4)])
+    feats_nofold = np.loadtxt(
+        tmp_path / "feats_nofold/pathology_features_val.csv", delimiter=","
+    )
+    np.testing.assert_allclose(feats, feats_nofold, atol=5e-4)

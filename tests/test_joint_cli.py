@@ -1,0 +1,77 @@
+"""Joint-fusion pipeline e2e through the real CLI mains (train -> savescore).
+
+Parity surface: ``5_JointFusion/1_JointFusion_train.py`` (3 LR groups,
+freeze ladder, --quick) and ``2_JointFusion_savescore.py`` artifacts. The
+full-size chain also runs in examples/full_chain_demo.py; this is the
+fast in-suite version (resnet18, 32x32 patches, 16 genes).
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+
+
+@pytest.fixture
+def joint_experiment(tmp_path):
+    root = tmp_path / "patches"
+    wsis = [f"W{i}" for i in range(4)]
+    for i, w in enumerate(wsis):
+        make_patch_dir(str(root), w, 5 + i, img_size=32, seed=i)
+    for split, idx in [("train", [0, 1, 2, 3]), ("val", [0, 1]), ("test", [2, 3])]:
+        df = make_survival_csv(
+            str(tmp_path / f"joint_{split}.csv"),
+            [f"c{i}" for i in idx],
+            wsi_names=[f"{wsis[i]}.svs" for i in idx],
+            n_rna=16,
+            seed=len(idx),
+        )
+        assert "wsi_file_name" in df.columns
+    cfg = {
+        "model_name": "resnet18", "num_classes": 1, "batch_size": 4,
+        "use_cuda": False, "data_path": str(root),
+        "train_csv_path": str(tmp_path / "joint_train.csv"),
+        "val_csv_path": str(tmp_path / "joint_val.csv"),
+        "test_csv_path": str(tmp_path / "joint_test.csv"),
+        "num_workers": 1, "num_epochs": 1, "img_size": 32,
+        "lr_rna": 1e-6, "lr_histo": 5e-5, "lr_mlp": 1e-2,
+        "weight_decay": 1e-5, "pretrained": False,
+        "aggregator": "identity", "aggregator_hdim": 512,
+        "task": "survival_prediction", "n_layers_to_train": 2,
+        "flag": "joint_model",
+        "max_patch_per_wsi_train": 4, "max_patch_per_wsi_val": 4,
+        "train_bag_size": 2, "val_bag_size": 2,
+        "histo_restore_path": "", "rna_restore_path": "",
+        "checkpoint_path": str(tmp_path / "out") + "/",
+        "summary_path": str(tmp_path / "out/summary") + "/",
+        "model_path": "", "restore_path": "",
+    }
+    p = tmp_path / "config_joint_train.json"
+    p.write_text(json.dumps(cfg))
+    return tmp_path, cfg, p
+
+
+def test_joint_cli_end_to_end(joint_experiment):
+    tmp_path, cfg, cfg_path = joint_experiment
+    from multimodalbrainsurvival_tpu.cli import joint_savescore, joint_train
+
+    joint_train.main(["--config", str(cfg_path), "--quick", "1"])
+    save_dir = tmp_path / "out/models/joint_model"
+    assert (save_dir / "model_last").is_dir()
+    out_dir = tmp_path / "out/outputs/joint_model"
+    frame = pd.read_csv(out_dir / "val_output_last.csv")
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+    cfg2 = dict(cfg)
+    cfg2["model_path"] = str(save_dir / "model_last")
+    cfg2["output_path"] = str(tmp_path / "scores") + "/"
+    p2 = tmp_path / "cfg_savescore.json"
+    p2.write_text(json.dumps(cfg2))
+    joint_savescore.main(["--config", str(p2)])
+    score_files = list((tmp_path / "scores").glob("*val*df.csv"))
+    assert score_files, "joint savescore wrote no val score frame"
+    sf = pd.read_csv(score_files[0])
+    assert np.isfinite(sf.select_dtypes("number")).all().all()

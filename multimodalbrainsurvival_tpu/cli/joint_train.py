@@ -73,7 +73,7 @@ def build_joint_datasets(config, quick: bool):
         img_size=config.img_size,
         keep_remainder=bool(config.get("keep_bag_remainder", False)),
     )
-    return {
+    datasets = {
         "train": PatchBagRNADataset(
             csv_path=config["train_csv_path"],
             bag_size=config.get("train_bag_size", 1),
@@ -90,6 +90,16 @@ def build_joint_datasets(config, quick: bool):
             max_patches_total=max_val, **common,
         ),
     }
+    # cache_patches_on_device: decode once, hold all patches in HBM, feed
+    # steps by int32 index gather — removes the per-step H2D of pixel data
+    # (docs/DESIGN.md item 11); content-identical batches (tested)
+    if config.get("cache_patches_on_device", False):
+        from multimodalbrainsurvival_tpu.data.device_cache import (
+            maybe_cache_on_device,
+        )
+
+        datasets = {k: maybe_cache_on_device(v, True) for k, v in datasets.items()}
+    return datasets
 
 
 def main(argv=None):

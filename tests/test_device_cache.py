@@ -1,0 +1,98 @@
+"""Device-resident patch cache: content-identical batches, index-only H2D.
+
+The cache (data/device_cache.py) must reproduce the base PatchBagDataset's
+batches exactly at wrap time (same bag composition, pixels, labels, masks)
+and keep the reference's per-epoch in-slide shuffle semantics."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+
+from multimodalbrainsurvival_tpu.data import PatchBagDataset, PatchBagRNADataset
+from multimodalbrainsurvival_tpu.data.device_cache import (
+    DeviceCachedPatchBags,
+    cache_fits,
+    maybe_cache_on_device,
+)
+
+
+@pytest.fixture
+def cohort(tmp_path):
+    root = tmp_path / "patches"
+    for i, w in enumerate(["A", "B", "C"]):
+        make_patch_dir(str(root), w, 5 + 2 * i, img_size=16, seed=i)
+    csv = tmp_path / "ffpe.csv"
+    make_survival_csv(
+        str(csv), ["c1", "c2", "c3"], wsi_names=["A.svs", "B.svs", "C.svs"]
+    )
+    return str(root), str(csv)
+
+
+def _collect(ds, batch_size, **kw):
+    return list(ds.batches(batch_size, **kw))
+
+
+def test_cached_batches_match_base(cohort):
+    root, csv = cohort
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                           max_patches_total=100)
+    cached = DeviceCachedPatchBags(base)
+    assert len(cached) == len(base)
+
+    for shuffle, seed in [(False, None), (True, 11)]:
+        got = _collect(cached, 3, shuffle=shuffle, seed=seed)
+        want = _collect(base, 3, shuffle=shuffle, seed=seed, num_threads=1)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g["patch_bag"]),
+                                          w["patch_bag"])
+            np.testing.assert_array_equal(g["bag_mask"], w["bag_mask"])
+            np.testing.assert_array_equal(g["sample_mask"], w["sample_mask"])
+            assert g["WSI"] == w["WSI"] and g["case"] == w["case"]
+            np.testing.assert_array_equal(g["survival_months"],
+                                          w["survival_months"])
+            np.testing.assert_array_equal(g["vital_status"], w["vital_status"])
+
+
+def test_cached_shuffle_repermutes_within_slides(cohort):
+    root, csv = cohort
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                           max_patches_total=100)
+    cached = DeviceCachedPatchBags(base)
+    before = {w: ids.copy() for w, ids in cached.ids.items()}
+    cached.shuffle()
+    changed = any(
+        not np.array_equal(before[w], cached.ids[w]) for w in before
+    )
+    assert changed
+    for w in before:  # same patch set per slide, new order
+        assert sorted(before[w]) == sorted(cached.ids[w])
+
+
+def test_cached_joint_dataset_carries_rna(cohort, tmp_path):
+    root, _ = cohort
+    csv = tmp_path / "joint.csv"
+    make_survival_csv(str(csv), ["c1", "c2", "c3"],
+                      wsi_names=["A.svs", "B.svs", "C.svs"], n_rna=8)
+    base = PatchBagRNADataset(root, str(csv), img_size=16, bag_size=2,
+                              max_patches_total=100)
+    cached = DeviceCachedPatchBags(base)
+    g = next(cached.batches(3))
+    w = next(base.batches(3, num_threads=1))
+    np.testing.assert_array_equal(np.asarray(g["patch_bag"]), w["patch_bag"])
+    np.testing.assert_array_equal(g["rna_data"], w["rna_data"])
+
+
+def test_maybe_cache_falls_back_when_too_large(cohort, capsys):
+    root, csv = cohort
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                           max_patches_total=100)
+    assert cache_fits(base, 1 << 30)
+    assert not cache_fits(base, 100)
+    same = maybe_cache_on_device(base, True, max_bytes=100)
+    assert same is base
+    assert "falling back" in capsys.readouterr().out
+    wrapped = maybe_cache_on_device(base, True, max_bytes=1 << 30)
+    assert isinstance(wrapped, DeviceCachedPatchBags)
+    assert maybe_cache_on_device(base, False) is base

@@ -102,3 +102,22 @@ def test_histo_cli_end_to_end(histo_experiment):
         tmp_path / "feats_nofold/pathology_features_val.csv", delimiter=","
     )
     np.testing.assert_allclose(feats, feats_nofold, atol=5e-4)
+
+
+def test_histo_train_with_device_cache(histo_experiment):
+    """cache_patches_on_device: the CLI trains end-to-end feeding steps from
+    the HBM-resident patch cache (index-only H2D; data/device_cache.py)."""
+    tmp_path, cfg, _ = histo_experiment
+    cfg2 = dict(cfg)
+    cfg2["cache_patches_on_device"] = True
+    cfg2["flag"] = "ffpe_cached"
+    cfg2["num_epochs"] = 1
+    p = tmp_path / "cfg_cached.json"
+    p.write_text(json.dumps(cfg2))
+    from multimodalbrainsurvival_tpu.cli import histo_train
+
+    histo_train.main(["--config", str(p)])
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/ffpe_cached/val_output_last.csv"
+    )
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()

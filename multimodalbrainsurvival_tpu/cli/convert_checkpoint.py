@@ -43,7 +43,8 @@ def convert(torch_path: str, arch: str, output: str, in_channels: int = 3):
     else:
         variables = CONVERTERS[arch](state)
     variables = jax.tree.map(jnp.asarray, variables)
-    Checkpointer().save(output, variables)
+    # one-shot CLI: block until the write commits (saves are async by default)
+    Checkpointer().save(output, variables, block=True)
     n = sum(x.size for x in jax.tree.leaves(variables))
     print(f"converted {arch} checkpoint ({n:,} params) -> {output}")
     return variables

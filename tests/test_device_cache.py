@@ -96,3 +96,47 @@ def test_maybe_cache_falls_back_when_too_large(cohort, capsys):
     wrapped = maybe_cache_on_device(base, True, max_bytes=1 << 30)
     assert isinstance(wrapped, DeviceCachedPatchBags)
     assert maybe_cache_on_device(base, False) is base
+
+
+def test_cached_batches_compose_with_mesh_sharding(cohort):
+    """Cache + dp mesh: gathered device arrays re-place onto a NamedSharding
+    (device-to-device) and a sharded train step runs over them."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodalbrainsurvival_tpu.models import (
+        AggregationModel, make_aggregator, resnet18,
+    )
+    from multimodalbrainsurvival_tpu.ops import cox_partial_likelihood_loss
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put, make_mesh
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, train_model
+
+    root, csv = cohort
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                           max_patches_total=4)
+    cached = DeviceCachedPatchBags(base)
+    mesh = make_mesh(dp=2, mp=1)
+
+    model = AggregationModel(
+        resnet=resnet18(), aggregator=make_aggregator("identity", dim=512),
+        aggregator_dim=512, out_features=1,
+    )
+    adapter = MILAdapter(model=model)
+    settings = TrainSettings(
+        num_epochs=1, batch_size=4, log_interval=100, seed=0,
+        eval_splits_during_training=(),
+        device_put_fn=batch_device_put(mesh),
+    )
+    probe = next(cached.batches(4))
+    variables = adapter.init(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    with mesh:
+        out_vars, _, outputs = train_model(
+            adapter, {"train": cached, "val": cached},
+            optax.adam(1e-4), settings, variables=variables,
+        )
+    assert np.isfinite(outputs["val_metrics_last"]["loss"])

@@ -100,7 +100,9 @@ def make_device_put(config: Config):
 
     mesh = make_mesh(dp=dp, mp=mp)
     print(f"training over mesh {dict(mesh.shape)}")
-    return batch_device_put(mesh, shard_bag=shard_bag)
+    put = batch_device_put(mesh, shard_bag=shard_bag)
+    put.mesh = mesh  # callers that must co-locate params (serving) need it
+    return put
 
 
 def restore_maybe_folded(config: Config, adapter, init_adapter, probe, seed: int):

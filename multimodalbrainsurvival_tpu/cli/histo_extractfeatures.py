@@ -20,6 +20,7 @@ import pandas as pd
 from multimodalbrainsurvival_tpu.cli._common import (
     extract_features_frames,
     load_config,
+    make_device_put,
     make_parser,
     restore_maybe_folded,
 )
@@ -27,10 +28,15 @@ from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets, build_mi
 from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
 
 
-def extract_split(adapter, variables, dataset, batch_size):
+def extract_split(adapter, variables, dataset, batch_size, device_put_fn=None):
     """Streaming extract with lag-1 result fetch: host decode (producer
     thread), device compute (async dispatch) and D2H transfer of the previous
-    batch all overlap."""
+    batch all overlap.
+
+    ``device_put_fn`` (from ``mesh: {"dp": N}`` in the config) shards every
+    batch across a device mesh so the ResNet inference fans out over chips —
+    the multi-chip serving path (parity of the sharded output with
+    single-device extract is tested on the virtual mesh)."""
     extract = getattr(adapter, "_extract_jit", None)
     if extract is None:
         extract = jax.jit(adapter.extract)
@@ -48,6 +54,8 @@ def extract_split(adapter, variables, dataset, batch_size):
     for batch in dataset.batches(batch_size, shuffle=False,
                                  **adapter.loader_kwargs):
         arrays = {k: jnp.asarray(batch[k]) for k in adapter.array_keys}
+        if device_put_fn is not None:
+            arrays = device_put_fn(arrays)
         out = extract(variables, arrays)  # async dispatch
         if pending is not None:
             drain(pending)
@@ -84,10 +92,23 @@ def main(argv=None):
     variables = restore_maybe_folded(config, adapter, init_adapter,
                                      probe, args.seed)
 
+    device_put_fn = make_device_put(config)  # mesh: {"dp": N} → sharded serve
+    if device_put_fn is not None:
+        # restored variables are committed to one device; replicate them over
+        # the mesh so they can meet the dp-sharded batches inside jit
+        from multimodalbrainsurvival_tpu.parallel.sharding import (
+            replicated_shardings,
+        )
+
+        variables = jax.device_put(
+            variables, replicated_shardings(variables, device_put_fn.mesh)
+        )
     suffix = f"_{flag}" if "cv" in flag else ""
     for split, ds in datasets.items():
         print(f"extracting features for dataset : {split}")
-        cases, _, feats = extract_split(adapter, variables, ds, config.batch_size)
+        cases, _, feats = extract_split(adapter, variables, ds,
+                                        config.batch_size,
+                                        device_put_fn=device_put_fn)
         uc, uf = extract_features_frames(cases, feats)
         pd.DataFrame(uc).to_csv(
             os.path.join(output_path, f"pathology_cases_{split}{suffix}.csv")

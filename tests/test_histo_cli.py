@@ -121,3 +121,30 @@ def test_histo_train_with_device_cache(histo_experiment):
         tmp_path / "out/outputs/ffpe_cached/val_output_last.csv"
     )
     assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+
+def test_extractfeatures_sharded_matches_single_device(histo_experiment):
+    """mesh: {"dp": 2} shards the extract inference across devices; the
+    per-case features must equal the single-device run bit-for-bit-ish
+    (fp32 reduction order)."""
+    tmp_path, cfg, cfg_path = histo_experiment
+    from multimodalbrainsurvival_tpu.cli import histo_extractfeatures, histo_train
+
+    histo_train.main(["--config", str(cfg_path), "--quick", "1"])
+    base = dict(cfg)
+    base["model_path"] = str(tmp_path / "out/models/ffpe_model/model_last")
+
+    outs = {}
+    for tag, mesh in [("single", None), ("dp2", {"dp": 2})]:
+        c = dict(base)
+        c["output_path"] = str(tmp_path / f"feats_{tag}") + "/"
+        if mesh:
+            c["mesh"] = mesh
+        p = tmp_path / f"cfg_{tag}.json"
+        p.write_text(json.dumps(c))
+        histo_extractfeatures.main(["--config", str(p)])
+        outs[tag] = np.loadtxt(
+            tmp_path / f"feats_{tag}/pathology_features_val.csv", delimiter=","
+        )
+    np.testing.assert_allclose(outs["dp2"], outs["single"], rtol=1e-5,
+                               atol=1e-6)

@@ -60,10 +60,6 @@ def _xla_block(x, bp, *, stride):
 
 
 def _kernel_blocks(params, stage, start, n):
-    from multimodalbrainsurvival_tpu.ops.pallas.fused_stage import (
-        fused_bottleneck_stage,  # noqa: F401  (import here keeps CPU paths light)
-    )
-
     blocks = []
     for j in range(start, start + n):
         bp = params[f"{stage}_{j}"]

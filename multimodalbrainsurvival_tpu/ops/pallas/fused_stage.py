@@ -140,7 +140,13 @@ def fused_bottleneck_stage(x, blocks, *, interpret: bool = False):
         )
         for w in flat_weights
     ]
-    cm_max = max(blk["w1"].shape[-1] for blk in blocks)
+    cms = {blk["w1"].shape[-1] for blk in blocks}
+    if len(cms) != 1:
+        raise ValueError(
+            f"all blocks in a fused stage must share the bottleneck width; "
+            f"got {sorted(cms)}"
+        )
+    (cm_max,) = cms
     return pl.pallas_call(
         kernel,
         grid=(B,),

@@ -371,6 +371,12 @@ def train_model(
                     best_val_loss if np.isfinite(best_val_loss) else 1e30
                 ),
                 "best_epoch": jnp.int32(best_epoch),
+                # the PRNG stream is part of the train state: a resumed run
+                # must consume the SAME dropout/augmentation keys an
+                # uninterrupted run would (resume-exactness is tested)
+                "rng": jax.random.key_data(rng)
+                if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                else rng,
             },
         }
 
@@ -390,10 +396,20 @@ def train_model(
         step = int(restored["meta"]["step"])
         best_val_loss = float(restored["meta"]["best_val_loss"])
         best_epoch = int(restored["meta"]["best_epoch"])
+        restored_rng = restored["meta"].get("rng")
+        if restored_rng is not None:
+            rng = jnp.asarray(restored_rng)
         print(
             f"Resumed full train state from {state_path}: epoch {start_epoch}, "
             f"step {step}, best_val_loss {best_val_loss:.4f}"
         )
+        # resume-exactness for patch pipelines: the dataset's in-slide
+        # permutation stream (reference models.py:269-272) advances once per
+        # epoch; fast-forward the freshly constructed dataset to where the
+        # uninterrupted run's stream would be
+        if hasattr(datasets["train"], "shuffle"):
+            for _ in range(start_epoch):
+                datasets["train"].shuffle()
 
     # parity: EarlyFusion runs a full train+val eval before the first epoch,
     # logged as epoch -1 (2_EarlyFusion_train.py:311-312) — logging only

@@ -50,6 +50,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
         # parity: EarlyFusion's printed trace starts with an epoch(-1) eval
         # (2_EarlyFusion_train.py:311-312) and weights the logged running

@@ -126,6 +126,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)

@@ -72,6 +72,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
         # parity: the reference weights the LOGGED running loss by the batch
         # event count (1_GeneExpress_train.py:166-171); logging only

@@ -82,6 +82,13 @@ class TrainSettings:
     #   Logging-only — training dynamics are identical either way.
     pre_training_eval: bool = False
     running_loss_weight: str = "samples"  # "samples" | "events"
+    # steps_per_dispatch > 1 chains that many optimizer steps inside ONE
+    # compiled lax.scan call, amortizing per-step dispatch latency (matters
+    # on remote/tunneled chips where a dispatch round-trip rivals the step
+    # itself). Numerically identical to per-step dispatch — same batches,
+    # same PRNG sequence (tested bitwise). Trailing sub-chunks fall back to
+    # the per-step path. Ignored under debug_checkify.
+    steps_per_dispatch: int = 1
     # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
     # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
     # entire backward — the exact analog of the reference's
@@ -350,6 +357,24 @@ def train_model(
 
         run_step = train_step
 
+        @jax.jit
+        def train_chunk(params, batch_stats, opt_state, stacked, keys):
+            """steps_per_dispatch optimizer steps in one compiled scan."""
+
+            def body(carry, xs):
+                p, bs, o = carry
+                arrays, k = xs
+                (loss, new_stats), grads = jax.value_and_grad(
+                    _forward_loss, has_aux=True
+                )(p, bs, arrays, k)
+                updates, o2 = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), new_stats, o2), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), (stacked, keys)
+            )
+            return params, batch_stats, opt_state, losses
+
     ckpt = Checkpointer() if settings.save_dir else None
     if settings.save_dir:
         os.makedirs(settings.save_dir, exist_ok=True)
@@ -435,6 +460,11 @@ def train_model(
         last_running_loss, last_seen = 0.0, 0.0
         pending_losses: list = []
         t_last = time.time()
+        K = 1 if settings.debug_checkify else max(
+            1, int(settings.steps_per_dispatch)
+        )
+        chunk: list = []  # buffered (arrays, step_rng, w) awaiting one scan
+        steps_since_log = 0
         for batch in datasets["train"].batches(
             settings.batch_size,
             shuffle=True,
@@ -444,21 +474,7 @@ def train_model(
         ):
             arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
             rng, step_rng = jax.random.split(rng)
-            if settings.profile_steps and step == 5:
-                jax.profiler.start_trace(settings.profile_dir)
-            params, new_stats, opt_state, loss = run_step(
-                params, batch_stats, opt_state, arrays, step_rng
-            )
-            if settings.profile_steps and step == 5 + settings.profile_steps:
-                jax.block_until_ready(loss)
-                jax.profiler.stop_trace()
-                print(f"wrote profiler trace to {settings.profile_dir}")
-            if batch_stats is not None:
-                batch_stats = new_stats
-            step += 1
-            # defer host syncs: fetching float(loss) every step would block
-            # dispatch of the next step (device round-trip per step); losses
-            # drain at log_interval / epoch end, keeping dispatch async
+            # logged-loss weight (host-side; defer device syncs — see below)
             mask_np = np.asarray(batch[adapter.sample_mask_key])
             if settings.running_loss_weight == "events":
                 # parity: GeneExpress/EarlyFusion weight the logged loss by
@@ -469,8 +485,44 @@ def train_model(
                 )
             else:
                 w = float(mask_np.sum())
-            pending_losses.append((loss, w, step))
-            if step % settings.log_interval == 0:
+
+            if K > 1:
+                chunk.append((arrays, step_rng, w))
+                if len(chunk) < K:
+                    continue
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
+                )
+                keys = jnp.stack([c[1] for c in chunk])
+                params, new_stats, opt_state, losses = train_chunk(
+                    params, batch_stats, opt_state, stacked, keys
+                )
+                for i, (_, _, wi) in enumerate(chunk):
+                    step += 1
+                    pending_losses.append((losses[i], wi, step))
+                chunk = []
+                advanced = K
+            else:
+                if settings.profile_steps and step == 5:
+                    jax.profiler.start_trace(settings.profile_dir)
+                params, new_stats, opt_state, loss = run_step(
+                    params, batch_stats, opt_state, arrays, step_rng
+                )
+                if settings.profile_steps and step == 5 + settings.profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    print(f"wrote profiler trace to {settings.profile_dir}")
+                step += 1
+                # defer host syncs: fetching float(loss) every step would
+                # block dispatch of the next step; losses drain at
+                # log_interval / epoch end, keeping dispatch async
+                pending_losses.append((loss, w, step))
+                advanced = 1
+            if batch_stats is not None:
+                batch_stats = new_stats
+            steps_since_log += advanced
+            # `step` just crossed a multiple of log_interval (== 0 for K=1)
+            if step % settings.log_interval < advanced:
                 running_loss, seen = _drain_losses(
                     pending_losses, running_loss, seen, settings, epoch
                 )
@@ -481,10 +533,11 @@ def train_model(
                 window_seen = seen - last_seen
                 last_running_loss, last_seen = running_loss, seen
                 loss_to_log = window / max(window_seen, 1e-9)
-                speed = settings.log_interval * settings.batch_size / (
+                speed = steps_since_log * settings.batch_size / (
                     time.time() - t_last
                 )
                 t_last = time.time()
+                steps_since_log = 0
                 print(
                     f"train | epoch {epoch} | step {step} | "
                     f"loss {loss_to_log:10.3f} |{speed:10.3f} bags/s"
@@ -492,6 +545,16 @@ def train_model(
                 if writer is not None:
                     writer.scalar("train/loss", loss_to_log, step)
                     writer.scalar("train/bags_per_s", speed, step)
+
+        # trailing sub-chunk (epoch length not divisible by K): per-step path
+        for arrays_i, key_i, wi in chunk:
+            params, new_stats, opt_state, loss = run_step(
+                params, batch_stats, opt_state, arrays_i, key_i
+            )
+            if batch_stats is not None:
+                batch_stats = new_stats
+            step += 1
+            pending_losses.append((loss, wi, step))
 
         running_loss, seen = _drain_losses(
             pending_losses, running_loss, seen, settings, epoch

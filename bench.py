@@ -79,7 +79,7 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
-    best, best_bs = 0.0, batch_sizes[0]
+    best = 0.0
     for bs in batch_sizes:
         x = jax.device_put(
             rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
@@ -90,9 +90,7 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
         print(f"# batch {bs}: {rate:.1f} patches/s", file=sys.stderr)
-        if rate > best:
-            best, best_bs = rate, bs
-
+        best = max(best, rate)
     return best
 
 

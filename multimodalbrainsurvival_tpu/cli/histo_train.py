@@ -117,13 +117,11 @@ def build_datasets(config, quick: bool):
     # cache_patches_on_device: decode once, hold all patches in HBM, feed
     # steps by int32 index gather — removes the per-step H2D of pixel data
     # (docs/DESIGN.md item 11); content-identical batches (tested)
-    if config.get("cache_patches_on_device", False):
-        from multimodalbrainsurvival_tpu.data.device_cache import (
-            maybe_cache_on_device,
-        )
+    from multimodalbrainsurvival_tpu.data.device_cache import maybe_cache_datasets
 
-        datasets = {k: maybe_cache_on_device(v, True) for k, v in datasets.items()}
-    return datasets
+    return maybe_cache_datasets(
+        datasets, bool(config.get("cache_patches_on_device", False))
+    )
 
 
 def main(argv=None):

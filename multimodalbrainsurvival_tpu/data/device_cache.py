@@ -32,9 +32,13 @@ from typing import Iterator
 import numpy as np
 
 
-def cache_fits(base, max_bytes: int) -> bool:
+def cache_bytes(base) -> int:
     n = sum(e["n_images"] for e in base.data.values())
-    return n * base.img_size * base.img_size * 3 <= max_bytes
+    return n * base.img_size * base.img_size * 3
+
+
+def cache_fits(base, max_bytes: int) -> bool:
+    return cache_bytes(base) <= max_bytes
 
 
 def maybe_cache_on_device(base, enabled: bool, *, max_bytes: int = 12 << 30):
@@ -50,6 +54,38 @@ def maybe_cache_on_device(base, enabled: bool, *, max_bytes: int = 12 << 30):
         )
         return base
     return DeviceCachedPatchBags(base)
+
+
+def maybe_cache_datasets(datasets: dict, enabled: bool,
+                         *, max_bytes: int = 12 << 30) -> dict:
+    """Wrap a {split: dataset} dict with ONE shared HBM budget.
+
+    All splits share the chip's memory, so the fit check must be on the
+    aggregate, not per split. If everything fits, every split is cached
+    (eval ships pixels once per epoch too); if only the train split fits,
+    cache just that (it dominates per-epoch traffic); otherwise fall back
+    to the host loader entirely, with a message either way.
+    """
+    if not enabled:
+        return datasets
+    total = sum(cache_bytes(ds) for ds in datasets.values())
+    if total <= max_bytes:
+        return {k: DeviceCachedPatchBags(v) for k, v in datasets.items()}
+    train = datasets.get("train")
+    if train is not None and cache_fits(train, max_bytes):
+        print(
+            "cache_patches_on_device: all splits together exceed the HBM "
+            f"budget ({total} > {max_bytes} bytes); caching only 'train'"
+        )
+        return {
+            k: DeviceCachedPatchBags(v) if k == "train" else v
+            for k, v in datasets.items()
+        }
+    print(
+        f"cache_patches_on_device: cohort too large for HBM cache "
+        f"({total} > {max_bytes} bytes); falling back to the host loader"
+    )
+    return datasets
 
 
 class DeviceCachedPatchBags:
@@ -98,7 +134,13 @@ class DeviceCachedPatchBags:
             (1, base.img_size, base.img_size, 3), np.uint8
         )
         self._cache = jax.device_put(flat)
-        self._gather = jax.jit(lambda cache, idx: cache[idx])
+        # padded bag slots / padded sample rows keep index 0 — zero them via
+        # the mask so batches match the host loader's zero-filled padding
+        # exactly (train-mode BN statistics see every patch, masked or not)
+        self._gather = jax.jit(
+            lambda cache, idx, mask: cache[idx]
+            * mask[..., None, None, None].astype(cache.dtype)
+        )
 
     def shuffle(self):
         """Per-epoch in-slide permutation (reference ``models.py:269-272``)."""
@@ -158,7 +200,7 @@ class DeviceCachedPatchBags:
             batch.update(scalars)
             if rna is not None:
                 batch["rna_data"] = rna
-            # the only per-step H2D is this int32 index array (KBs);
+            # the only per-step H2D is this int32 index array + mask (KBs);
             # the gather runs on device against the resident cache
-            batch["patch_bag"] = self._gather(self._cache, idx)
+            batch["patch_bag"] = self._gather(self._cache, idx, bag_mask)
             yield batch

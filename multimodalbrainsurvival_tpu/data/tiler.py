@@ -136,9 +136,16 @@ class PyramidTiffSlide:
     - ``read_region((x, y), level, (w, h))`` with **level-0 coordinates** for
       ``(x, y)`` and level coordinates for the size, zero-padded at edges —
       OpenSlide semantics exactly.
+
+    LIMITATION: PIL's TIFF plugin decodes whole pages, so every level is
+    held in RAM. That is fine for moderate pyramids but NOT for full-size
+    vendor slides (level 0 of a 40× Aperio scan is tens of GB decompressed)
+    — ``max_pixels`` refuses those with an actionable error instead of
+    OOM-ing; install OpenSlide for lazy region reads on real slides.
     """
 
-    def __init__(self, path: str):
+    # ~1.5 GB of RGB across all levels by default
+    def __init__(self, path: str, max_pixels: int = 512_000_000):
         from PIL import Image
 
         self._levels: list[np.ndarray] = []
@@ -146,6 +153,17 @@ class PyramidTiffSlide:
         with Image.open(path) as im:
             n = getattr(im, "n_frames", 1)
             description = str(im.tag_v2.get(270, "")) if hasattr(im, "tag_v2") else ""
+            total = 0
+            for page in range(n):
+                im.seek(page)
+                total += im.width * im.height
+            if total > max_pixels:
+                raise MemoryError(
+                    f"{path}: pyramid holds {total:,} pixels; the PIL-based "
+                    f"reader decodes whole levels into RAM (limit "
+                    f"{max_pixels:,}). Install OpenSlide for lazy region "
+                    f"reads of full-size slides."
+                )
             for page in range(n):
                 im.seek(page)
                 self._levels.append(np.asarray(im.convert("RGB")))
@@ -192,8 +210,11 @@ def open_slide(path: str):
             slide = PyramidTiffSlide(path)
             if len(slide.level_dimensions) > 1:
                 return slide  # real pyramid: keep openslide-like levels
-        except Exception:
-            pass  # not a TIFF PIL can read; fall through to cv2
+        except MemoryError:
+            raise  # too big for the eager reader — surface the guidance
+        except Exception as e:  # not a TIFF PIL can read; try cv2
+            print(f"PyramidTiffSlide could not read {path} ({e!r}); "
+                  f"falling back to single-level cv2 reader")
     return ImageSlide(path)
 
 

@@ -412,7 +412,14 @@ def train_model(
     )
     if settings.resume and state_path and Checkpointer.exists(state_path):
         epoch = 0
-        restored = ckpt.restore(state_path, _full_state())
+        try:
+            restored = ckpt.restore(state_path, _full_state())
+        except Exception:
+            # checkpoints written before the PRNG stream joined the state
+            # lack meta.rng; restore with the legacy template
+            legacy = _full_state()
+            legacy["meta"].pop("rng")
+            restored = ckpt.restore(state_path, legacy)
         params = restored["params"]
         if batch_stats is not None:
             batch_stats = restored["batch_stats"]
@@ -460,7 +467,10 @@ def train_model(
         last_running_loss, last_seen = 0.0, 0.0
         pending_losses: list = []
         t_last = time.time()
-        K = 1 if settings.debug_checkify else max(
+        # chunked dispatch is incompatible with per-step instrumentation:
+        # checkify wraps single steps, and the profiler start/stop hooks are
+        # per-step — fall back to K=1 rather than silently dropping either
+        K = 1 if (settings.debug_checkify or settings.profile_steps) else max(
             1, int(settings.steps_per_dispatch)
         )
         chunk: list = []  # buffered (arrays, step_rng, w) awaiting one scan
@@ -476,9 +486,14 @@ def train_model(
             rng, step_rng = jax.random.split(rng)
             # logged-loss weight (host-side; defer device syncs — see below)
             mask_np = np.asarray(batch[adapter.sample_mask_key])
-            if settings.running_loss_weight == "events":
+            if (
+                settings.running_loss_weight == "events"
+                and "vital_status" in batch
+            ):
                 # parity: GeneExpress/EarlyFusion weight the logged loss by
-                # the event count (1_GeneExpress_train.py:166-171)
+                # the event count (1_GeneExpress_train.py:166-171). The
+                # survival drivers always carry vital_status; other tasks
+                # fall through to sample weighting.
                 w = float(
                     (np.asarray(batch["vital_status"], np.float64)
                      * mask_np).sum()

@@ -384,3 +384,15 @@ def test_pyramid_tiling_dezoom_cancels_appmag(tmp_path):
         os.path.join(patch_path, "P1", f"P1_patch_{i}.png")
     )[:, :, ::-1]
     np.testing.assert_array_equal(png, full[y : y + 64, x : x + 64])
+
+
+def test_pyramid_reader_refuses_oversized_slides(tmp_path):
+    """The PIL-based pyramid reader is eager; full-size vendor slides must
+    fail with guidance (install OpenSlide) instead of OOM-ing."""
+    from multimodalbrainsurvival_tpu.data.tiler import PyramidTiffSlide
+
+    path, _ = _pyramid_slide(tmp_path, app_mag=20)
+    with pytest.raises(MemoryError, match="OpenSlide"):
+        PyramidTiffSlide(path, max_pixels=1000)
+    # default budget admits the synthetic fixture
+    assert len(PyramidTiffSlide(path).level_dimensions) == 2

@@ -140,3 +140,58 @@ def test_cached_batches_compose_with_mesh_sharding(cohort):
             optax.adam(1e-4), settings, variables=variables,
         )
     assert np.isfinite(outputs["val_metrics_last"]["loss"])
+
+
+def test_cached_padding_matches_host_loader_zeros(cohort):
+    """Partial batches and remainder bags must be zero-filled exactly like
+    the host loader (index-0 pixels would poison train-mode BN stats)."""
+    root, csv = cohort
+    # bag_size 3 over 5/7/9 patches with keep_remainder -> remainder bags;
+    # batch 3 over 8 bags -> a partial final batch
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=3,
+                           max_patches_total=100, keep_remainder=True)
+    cached = DeviceCachedPatchBags(base)
+    got = list(cached.batches(3))
+    want = list(base.batches(3, num_threads=1))
+    assert len(got) == len(want)
+    saw_partial_bag = saw_partial_batch = False
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g["patch_bag"]),
+                                      w["patch_bag"])
+        saw_partial_bag |= bool((~g["bag_mask"][g["sample_mask"]]).any())
+        saw_partial_batch |= bool((~g["sample_mask"]).any())
+    assert saw_partial_bag and saw_partial_batch  # the fixture must exercise both
+
+
+def test_maybe_cache_datasets_shared_budget(cohort, capsys):
+    """The HBM fit check is on the AGGREGATE of all splits; when only the
+    train split fits, only it is cached."""
+    root, csv = cohort
+
+    def mk():
+        return PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                               max_patches_total=100)
+
+    from multimodalbrainsurvival_tpu.data.device_cache import (
+        cache_bytes,
+        maybe_cache_datasets,
+    )
+
+    datasets = {"train": mk(), "val": mk(), "test": mk()}
+    per_split = cache_bytes(datasets["train"])
+
+    all_cached = maybe_cache_datasets(dict(datasets), True,
+                                      max_bytes=3 * per_split)
+    assert all(isinstance(d, DeviceCachedPatchBags)
+               for d in all_cached.values())
+
+    train_only = maybe_cache_datasets(dict(datasets), True,
+                                      max_bytes=2 * per_split)
+    assert isinstance(train_only["train"], DeviceCachedPatchBags)
+    assert train_only["val"] is datasets["val"]
+    assert "caching only 'train'" in capsys.readouterr().out
+
+    none = maybe_cache_datasets(dict(datasets), True, max_bytes=10)
+    assert none["train"] is datasets["train"]
+
+    assert maybe_cache_datasets(dict(datasets), False) == datasets

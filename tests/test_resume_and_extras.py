@@ -214,3 +214,55 @@ def test_resume_fast_forwards_in_slide_shuffle(tmp_path):
         resumed.shuffle()
     resumed.shuffle()  # epoch 2's own in-loop shuffle
     assert straight.data["W1"]["images"] == resumed.data["W1"]["images"]
+
+
+def test_resume_from_pre_rng_checkpoint(tmp_path):
+    """Checkpoints written before the PRNG stream joined the train state
+    (no meta.rng) must still resume (legacy-template fallback in loop.py)."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(16)], n_rna=8, seed=2)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+    save_dir = str(tmp_path / "ck")
+
+    adapter = TableAdapter(
+        model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8)))
+    )
+    train_model(adapter, {"train": ds, "val": ds}, optax.adam(1e-3),
+                TrainSettings(num_epochs=1, batch_size=8, save_dir=save_dir,
+                              eval_splits_during_training=("val",)))
+
+    # rewrite the state WITHOUT meta.rng, as a round-1 checkpoint would be
+    ck = Checkpointer()
+    state_path = os.path.join(save_dir, "train_state")
+    state = ck.restore(state_path)
+    assert "rng" in state["meta"]
+    state["meta"].pop("rng")
+    import shutil
+
+    shutil.rmtree(state_path)
+    ck.save(state_path, state, block=True)
+
+    # resume must fall back to the legacy template and continue
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train_model(
+            TableAdapter(
+                model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8)))
+            ),
+            {"train": ds, "val": ds}, optax.adam(1e-3),
+            TrainSettings(num_epochs=2, batch_size=8, save_dir=save_dir,
+                          eval_splits_during_training=("val",), resume=True),
+        )
+    out = buf.getvalue()
+    assert "Resumed full train state" in out and "Epoch 1/1" in out

@@ -379,3 +379,37 @@ def test_steps_per_dispatch_is_bitwise_identical(tmp_path, capsys):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(ka)
         )
+
+
+def test_events_weighting_tolerates_missing_vital_status(tmp_path, capsys):
+    """running_loss_weight='events' on a task/CSV without vital_status must
+    fall back to sample weighting instead of crashing (the rna/feature CLIs
+    set it whenever reference_parity is on, regardless of task)."""
+    import pandas as pd
+
+    from multimodalbrainsurvival_tpu.data.tables import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, train_model
+
+    rng_np = np.random.default_rng(0)
+    df = pd.DataFrame({"case": [f"c{i}" for i in range(16)],
+                       "label": rng_np.integers(0, 2, 16)})
+    for g in range(8):
+        df[f"rna_{g}"] = rng_np.normal(size=16).astype(np.float32)
+    csv = tmp_path / "cls.csv"
+    df.to_csv(csv, index=False)
+    ds = RNATableDataset(str(csv))
+    adapter = TableAdapter(
+        model=RNAOnlyModel(
+            encoder=RNAEncoder(hidden_dims=(8, 4), dropout=0.0),
+            out_features=2,
+        )
+    )
+    settings = TrainSettings(
+        num_epochs=1, batch_size=8, log_interval=1, seed=1,
+        task="classification", num_classes=2, target_label="label",
+        running_loss_weight="events", eval_splits_during_training=(),
+    )
+    train_model(adapter, {"train": ds, "val": ds}, torch_adam(1e-3), settings)
+    assert "train | epoch 0" in capsys.readouterr().out

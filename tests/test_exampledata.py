@@ -68,3 +68,35 @@ def test_joint_example_csv_rna_columns():
     rna_cols = [c for c in df.columns if "rna_" in c]
     assert len(rna_cols) == 12778
     assert "wsi_file_name" in df.columns
+
+
+def test_rna_pipeline_trains_on_verbatim_example_csv(tmp_path):
+    """Full-width golden e2e: the real 12,778->4096->2048 model trains on
+    the reference's own rna_example.csv through the actual CLI (train one
+    epoch, write the reference artifacts, finite scores)."""
+    import json
+
+    import pandas as pd
+
+    from multimodalbrainsurvival_tpu.cli import rna_train
+
+    cfg = {
+        "batch_size": 8, "use_cuda": False,
+        "train_csv_path": os.path.join(EX, "rna_example.csv"),
+        "val_csv_path": os.path.join(EX, "rna_example.csv"),
+        "test_csv_path": os.path.join(EX, "rna_example.csv"),
+        "num_workers": 1, "num_epochs": 1,
+        "lr_rna": 1e-5, "lr_mlp": 1e-5, "weight_decay": 1e-5,
+        "flag": "rna_golden",
+        "checkpoint_path": str(tmp_path / "out") + "/",
+        "summary_path": str(tmp_path / "out/summary") + "/",
+        "restore_path": "", "model_path": "",
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    rna_train.main(["--config", str(p), "--quick", "1"])
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/rna_golden/val_output_last.csv"
+    )
+    assert len(frame) == 22  # the example cohort (rna_example.csv rows)
+    assert np.isfinite(frame["score"]).all()

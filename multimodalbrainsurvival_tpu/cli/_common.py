@@ -86,6 +86,20 @@ def maybe_restore(variables, config: Config, ckpt, keys=("restore_path", "model_
     return variables
 
 
+def run_train(train_model_fn, *args, **kwargs):
+    """Run ``train_model``, converting a preemption (SIGTERM) into a clean
+    exit: the emergency full-state checkpoint is already committed by the
+    loop, so rerunning the same command with ``resume: true`` continues the
+    run exactly where it stopped (train/loop.py)."""
+    from multimodalbrainsurvival_tpu.train import TrainingPreempted
+
+    try:
+        return train_model_fn(*args, **kwargs)
+    except TrainingPreempted as e:
+        print(f"exiting cleanly after preemption: {e}")
+        return None
+
+
 def make_device_put(config: Config):
     """``mesh: {"dp": N, "mp": M}`` in the config shards every batch over a
     device mesh (``parallel/``); absent or dp*mp == 1 → single-device (None).

@@ -16,6 +16,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    run_train,
 )
 from multimodalbrainsurvival_tpu.data import FeatureTableDataset
 from multimodalbrainsurvival_tpu.models import EarlyFusionMLP
@@ -50,6 +51,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
         steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
         # parity: EarlyFusion's printed trace starts with an epoch(-1) eval
@@ -68,7 +70,7 @@ def main(argv=None):
                               keys=("restore_path",))
     tx = torch_adam(float(config["lr"]), config.weight_decay)
 
-    train_model(adapter, datasets, tx, settings, variables=variables,
+    run_train(train_model, adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)
     if writer is not None:
         writer.close()

@@ -21,6 +21,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    run_train,
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import load_pretrained
 from multimodalbrainsurvival_tpu.data import PatchBagRNADataset
@@ -124,6 +125,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
         steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
     )
@@ -144,7 +146,7 @@ def main(argv=None):
     tx, labels = build_joint_optimizer(variables["params"], config)
     # frozen layers skip backward entirely (torch requires_grad=False parity)
     settings.param_labels = labels
-    train_model(adapter, datasets, tx, settings, variables=variables,
+    run_train(train_model, adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)
     if writer is not None:
         writer.close()

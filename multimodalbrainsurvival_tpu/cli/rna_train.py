@@ -19,6 +19,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    run_train,
 )
 from multimodalbrainsurvival_tpu.data import RNATableDataset
 from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
@@ -72,6 +73,7 @@ def main(argv=None):
         log_interval=config.log_interval,
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
+        emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
         steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
         # parity: the reference weights the LOGGED running loss by the batch
@@ -88,7 +90,7 @@ def main(argv=None):
                               keys=("restore_path",))
     tx = build_rna_optimizer(variables["params"], config)
 
-    train_model(adapter, datasets, tx, settings, variables=variables,
+    run_train(train_model, adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)
     if writer is not None:
         writer.close()

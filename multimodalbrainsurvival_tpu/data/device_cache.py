@@ -156,6 +156,7 @@ class DeviceCachedPatchBags:
         *,
         shuffle: bool = False,
         seed: int | None = None,
+        skip_batches: int = 0,
         **_: object,  # loader kwargs (num_threads/prefetch) are host-only
     ) -> Iterator[dict]:
         base = self.base
@@ -163,7 +164,7 @@ class DeviceCachedPatchBags:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
 
-        for s in range(0, len(order), batch_size):
+        for s in range(skip_batches * batch_size, len(order), batch_size):
             sel = order[s : s + batch_size]
             b = len(sel)
             idx = np.zeros((batch_size, self.bag_size), np.int32)

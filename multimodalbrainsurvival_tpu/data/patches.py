@@ -215,14 +215,21 @@ class PatchBagDataset:
         seed: int | None = None,
         num_threads: int = 8,
         prefetch: int = 2,
+        skip_batches: int = 0,
     ) -> Iterator[dict]:
-        """Threaded decode + double-buffered prefetch of uint8 bag batches."""
+        """Threaded decode + double-buffered prefetch of uint8 bag batches.
+
+        ``skip_batches`` drops the first k batches of the (deterministic)
+        epoch order at the index level — zero decode cost — so a run resumed
+        from a mid-epoch preemption checkpoint restarts exactly where the
+        interrupted epoch left off (train/loop.py).
+        """
         order = np.arange(len(self.index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
 
         def batch_indices():
-            for start in range(0, len(order), batch_size):
+            for start in range(skip_batches * batch_size, len(order), batch_size):
                 yield order[start : start + batch_size]
 
         q: queue.Queue = queue.Queue(maxsize=prefetch)

@@ -68,18 +68,22 @@ class TableDataset:
         shuffle: bool = False,
         seed: int | None = None,
         pad: bool = True,
+        skip_batches: int = 0,
     ) -> Iterator[dict]:
         """Yield dicts of statically shaped numpy batches.
 
         Keys: ``data`` (B, D) f32, ``mask`` (B,) bool, every label array
         present in the CSV, and ``case`` (list of ids, padded with "").
+        ``skip_batches`` drops the first k batches of the (deterministic)
+        epoch order without assembling them — mid-epoch resume after a
+        preemption checkpoint (train/loop.py).
         """
         n = len(self)
         order = np.arange(n)
         if shuffle:
             rng = np.random.default_rng(seed)
             rng.shuffle(order)
-        for start in range(0, n, batch_size):
+        for start in range(skip_batches * batch_size, n, batch_size):
             idx = order[start : start + batch_size]
             b = len(idx)
             out: dict = {}

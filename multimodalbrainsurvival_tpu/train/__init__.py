@@ -3,13 +3,19 @@ from multimodalbrainsurvival_tpu.train.optim import (
     mil_freeze_ladder,
     torch_adam,
 )
-from multimodalbrainsurvival_tpu.train.loop import TrainSettings, evaluate, train_model
+from multimodalbrainsurvival_tpu.train.loop import (
+    TrainingPreempted,
+    TrainSettings,
+    evaluate,
+    train_model,
+)
 
 __all__ = [
     "torch_adam",
     "build_grouped_optimizer",
     "mil_freeze_ladder",
     "TrainSettings",
+    "TrainingPreempted",
     "train_model",
     "evaluate",
 ]

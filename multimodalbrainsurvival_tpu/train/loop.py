@@ -25,6 +25,8 @@ set (``ops/cox.py``).
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -38,6 +40,24 @@ import optax
 from multimodalbrainsurvival_tpu.ops import cox_partial_likelihood_loss, nll_surv_loss
 from multimodalbrainsurvival_tpu.ops import metrics as M
 from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+
+class TrainingPreempted(RuntimeError):
+    """Raised after an emergency full-state checkpoint was committed in
+    response to a preemption signal (SIGTERM) or the ``preempt_after_steps``
+    test hook. The run resumes EXACTLY (same batches, same PRNG stream) with
+    ``resume: true`` — the checkpoint records the mid-epoch position
+    (``meta.epoch_step``). The reference has no failure-recovery story at all
+    (SURVEY.md §5 "failure detection")."""
+
+    def __init__(self, epoch: int, epoch_step: int, path: str):
+        super().__init__(
+            f"training preempted at epoch {epoch}, batch {epoch_step}; "
+            f"full train state saved to {path} — rerun with resume: true"
+        )
+        self.epoch = epoch
+        self.epoch_step = epoch_step
+        self.path = path
 
 
 @dataclass
@@ -72,6 +92,17 @@ class TrainSettings:
     # continues — an upgrade over the reference, which only persists model
     # weights (2_HistoPath_train.py:378-383; SURVEY.md §5).
     resume: bool = False
+    # Preemption / emergency checkpointing (SURVEY.md §5 "failure detection
+    # / elastic recovery" — absent in the reference): while training with a
+    # save_dir, SIGTERM triggers a blocking full-state save at the next step
+    # boundary — including the mid-epoch batch position — then raises
+    # TrainingPreempted. A rerun with resume=True skips the already-consumed
+    # batches of the interrupted epoch and continues bitwise-exactly (the
+    # PRNG stream is part of the state; tested in tests/test_preemption.py).
+    emergency_checkpoint: bool = True
+    # test/debug hook: behave as if SIGTERM arrived once the global step
+    # counter reaches this value (0 = disabled)
+    preempt_after_steps: int = 0
     # Printed-trace parity knobs:
     # - pre_training_eval: EarlyFusion evaluates train+val once before the
     #   first epoch, logged as epoch -1 (2_EarlyFusion_train.py:311-312).
@@ -383,6 +414,9 @@ def train_model(
     best_epoch = -1
     step = 0
     start_epoch = 0
+    epoch_step = 0  # batches consumed in the current epoch (preemption resume)
+    skip_batches = 0  # batches of the resumed epoch already consumed pre-preemption
+    skip_shuffle_once = False  # the interrupted run already shuffled that epoch
 
     def _full_state():
         return {
@@ -392,6 +426,10 @@ def train_model(
             "meta": {
                 "epoch": jnp.int32(epoch),
                 "step": jnp.int32(step),
+                # 0 → saved at an epoch boundary (resume at epoch+1);
+                # k > 0 → emergency/preemption save after the epoch's k-th
+                # batch (resume re-enters the SAME epoch, skipping k batches)
+                "epoch_step": jnp.int32(epoch_step),
                 "best_val_loss": jnp.float32(
                     best_val_loss if np.isfinite(best_val_loss) else 1e30
                 ),
@@ -412,35 +450,58 @@ def train_model(
     )
     if settings.resume and state_path and Checkpointer.exists(state_path):
         epoch = 0
-        try:
-            restored = ckpt.restore(state_path, _full_state())
-        except Exception:
-            # checkpoints written before the PRNG stream joined the state
-            # lack meta.rng; restore with the legacy template
-            legacy = _full_state()
-            legacy["meta"].pop("rng")
-            restored = ckpt.restore(state_path, legacy)
+        # checkpoints written before the PRNG stream / the mid-epoch position
+        # joined the state lack meta.rng / meta.epoch_step; try the richest
+        # template first, then the progressively older layouts
+        template = _full_state()
+        restored = None
+        for drop in ((), ("rng",), ("epoch_step",), ("epoch_step", "rng")):
+            t = dict(template)
+            t["meta"] = {
+                k: v for k, v in template["meta"].items() if k not in drop
+            }
+            try:
+                restored = ckpt.restore(state_path, t)
+                break
+            except Exception:
+                continue
+        if restored is None:  # none matched — surface the real error
+            restored = ckpt.restore(state_path, template)
         params = restored["params"]
         if batch_stats is not None:
             batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
-        start_epoch = int(restored["meta"]["epoch"]) + 1
         step = int(restored["meta"]["step"])
         best_val_loss = float(restored["meta"]["best_val_loss"])
+        if best_val_loss >= 1e30:  # the _full_state sentinel for "no best yet"
+            best_val_loss = float(np.inf)
         best_epoch = int(restored["meta"]["best_epoch"])
         restored_rng = restored["meta"].get("rng")
         if restored_rng is not None:
             rng = jnp.asarray(restored_rng)
+        resumed_epoch_step = int(restored["meta"].get("epoch_step", 0))
+        if resumed_epoch_step > 0:
+            # mid-epoch (preemption) checkpoint: re-enter the SAME epoch and
+            # skip the batches the interrupted run already consumed; its
+            # in-loop shuffle for that epoch already happened
+            start_epoch = int(restored["meta"]["epoch"])
+            skip_batches = resumed_epoch_step
+            skip_shuffle_once = True
+            shuffles_done = start_epoch + 1
+        else:
+            start_epoch = int(restored["meta"]["epoch"]) + 1
+            shuffles_done = start_epoch
         print(
-            f"Resumed full train state from {state_path}: epoch {start_epoch}, "
-            f"step {step}, best_val_loss {best_val_loss:.4f}"
+            f"Resumed full train state from {state_path}: epoch {start_epoch}"
+            + (f" (batch {skip_batches})" if skip_batches else "")
+            + f", step {step}, best_val_loss {best_val_loss:.4f}"
         )
         # resume-exactness for patch pipelines: the dataset's in-slide
         # permutation stream (reference models.py:269-272) advances once per
         # epoch; fast-forward the freshly constructed dataset to where the
         # uninterrupted run's stream would be
         if hasattr(datasets["train"], "shuffle"):
-            for _ in range(start_epoch):
+            for _ in range(shuffles_done):
                 datasets["train"].shuffle()
 
     # parity: EarlyFusion runs a full train+val eval before the first epoch,
@@ -457,151 +518,214 @@ def train_model(
                 )
                 print(f"{split.upper()} Loss: {sl:.4f}")
 
-    for epoch in range(start_epoch, settings.num_epochs):
-        print(f"Epoch {epoch}/{settings.num_epochs - 1}")
-        print("-" * 10)
-        if hasattr(datasets["train"], "shuffle"):
-            datasets["train"].shuffle()
-
-        running_loss, seen = 0.0, 0.0
-        last_running_loss, last_seen = 0.0, 0.0
-        pending_losses: list = []
-        t_last = time.time()
-        # chunked dispatch is incompatible with per-step instrumentation:
-        # checkify wraps single steps, and the profiler start/stop hooks are
-        # per-step — fall back to K=1 rather than silently dropping either
-        K = 1 if (settings.debug_checkify or settings.profile_steps) else max(
-            1, int(settings.steps_per_dispatch)
-        )
-        chunk: list = []  # buffered (arrays, step_rng, w) awaiting one scan
-        steps_since_log = 0
-        for batch in datasets["train"].batches(
-            settings.batch_size,
-            shuffle=True,
-            seed=settings.seed + epoch,
-            **adapter.loader_kwargs,
-            **settings.extra_loader_kwargs,
-        ):
-            arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
-            rng, step_rng = jax.random.split(rng)
-            # logged-loss weight (host-side; defer device syncs — see below)
-            mask_np = np.asarray(batch[adapter.sample_mask_key])
-            if (
-                settings.running_loss_weight == "events"
-                and "vital_status" in batch
-            ):
-                # parity: GeneExpress/EarlyFusion weight the logged loss by
-                # the event count (1_GeneExpress_train.py:166-171). The
-                # survival drivers always carry vital_status; other tasks
-                # fall through to sample weighting.
-                w = float(
-                    (np.asarray(batch["vital_status"], np.float64)
-                     * mask_np).sum()
-                )
-            else:
-                w = float(mask_np.sum())
-
-            if K > 1:
-                chunk.append((arrays, step_rng, w))
-                if len(chunk) < K:
-                    continue
-                stacked = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
-                )
-                keys = jnp.stack([c[1] for c in chunk])
-                params, new_stats, opt_state, losses = train_chunk(
-                    params, batch_stats, opt_state, stacked, keys
-                )
-                for i, (_, _, wi) in enumerate(chunk):
-                    step += 1
-                    pending_losses.append((losses[i], wi, step))
-                chunk = []
-                advanced = K
-            else:
-                if settings.profile_steps and step == 5:
-                    jax.profiler.start_trace(settings.profile_dir)
-                params, new_stats, opt_state, loss = run_step(
-                    params, batch_stats, opt_state, arrays, step_rng
-                )
-                if settings.profile_steps and step == 5 + settings.profile_steps:
-                    jax.block_until_ready(loss)
-                    jax.profiler.stop_trace()
-                    print(f"wrote profiler trace to {settings.profile_dir}")
-                step += 1
-                # defer host syncs: fetching float(loss) every step would
-                # block dispatch of the next step; losses drain at
-                # log_interval / epoch end, keeping dispatch async
-                pending_losses.append((loss, w, step))
-                advanced = 1
-            if batch_stats is not None:
-                batch_stats = new_stats
-            steps_since_log += advanced
-            # `step` just crossed a multiple of log_interval (== 0 for K=1)
-            if step % settings.log_interval < advanced:
-                running_loss, seen = _drain_losses(
-                    pending_losses, running_loss, seen, settings, epoch
-                )
-                # parity: the printed loss is a WINDOWED average over the
-                # batches since the last log line, not cumulative
-                # (2_HistoPath_train.py:346-358 resets inputs_seen per log)
-                window = running_loss - last_running_loss
-                window_seen = seen - last_seen
-                last_running_loss, last_seen = running_loss, seen
-                loss_to_log = window / max(window_seen, 1e-9)
-                speed = steps_since_log * settings.batch_size / (
-                    time.time() - t_last
-                )
-                t_last = time.time()
-                steps_since_log = 0
-                print(
-                    f"train | epoch {epoch} | step {step} | "
-                    f"loss {loss_to_log:10.3f} |{speed:10.3f} bags/s"
-                )
-                if writer is not None:
-                    writer.scalar("train/loss", loss_to_log, step)
-                    writer.scalar("train/bags_per_s", speed, step)
-
-        # trailing sub-chunk (epoch length not divisible by K): per-step path
-        for arrays_i, key_i, wi in chunk:
-            params, new_stats, opt_state, loss = run_step(
-                params, batch_stats, opt_state, arrays_i, key_i
+    # Preemption watch (SURVEY.md §5 "failure detection"): SIGTERM requests an
+    # emergency full-state checkpoint at the next step boundary. The handler
+    # only sets a flag — the save itself runs in the loop, between steps, so
+    # the state on disk is always a consistent post-optimizer-step snapshot.
+    preempt_flag = threading.Event()
+    prev_handler = None
+    handler_installed = False
+    if ckpt is not None and settings.emergency_checkpoint:
+        def _on_preempt_signal(signum, frame):
+            preempt_flag.set()
+            print(
+                "preemption signal received: checkpointing at the next step "
+                "boundary...",
+                flush=True,
             )
-            if batch_stats is not None:
-                batch_stats = new_stats
-            step += 1
-            pending_losses.append((loss, wi, step))
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_preempt_signal)
+            handler_installed = True
+        except ValueError:
+            pass  # not the main thread: signal-driven preemption unavailable
 
+    def _maybe_preempt():
+        """Between steps: if a preemption was requested, commit a blocking
+        emergency checkpoint (mid-epoch position included) and abort."""
+        nonlocal running_loss, seen
+        if ckpt is None:
+            return
+        if not (
+            preempt_flag.is_set()
+            or (
+                settings.preempt_after_steps
+                and step >= settings.preempt_after_steps
+            )
+        ):
+            return
         running_loss, seen = _drain_losses(
             pending_losses, running_loss, seen, settings, epoch
         )
-        print(f"EPOCH Loss: {running_loss / max(seen, 1e-9):.4f}")
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
+        ckpt.save(state_path, _full_state(), block=True)
+        print(
+            f"PREEMPTED: saved full train state (epoch {epoch}, batch "
+            f"{epoch_step}, global step {step}) to {state_path}; rerun with "
+            f"resume: true to continue exactly",
+            flush=True,
+        )
+        raise TrainingPreempted(epoch, epoch_step, state_path)
 
-        for split in settings.eval_splits_during_training:
-            if split not in datasets:
-                continue
-            sl, _, _ = evaluate(
-                adapter, variables, datasets[split], settings,
-                split=split, epoch=epoch, writer=writer,
+    try:
+        for epoch in range(start_epoch, settings.num_epochs):
+            print(f"Epoch {epoch}/{settings.num_epochs - 1}")
+            print("-" * 10)
+            if hasattr(datasets["train"], "shuffle"):
+                if skip_shuffle_once:
+                    skip_shuffle_once = False
+                else:
+                    datasets["train"].shuffle()
+
+            this_epoch_skip, skip_batches = skip_batches, 0
+            epoch_step = this_epoch_skip
+            running_loss, seen = 0.0, 0.0
+            last_running_loss, last_seen = 0.0, 0.0
+            pending_losses: list = []
+            t_last = time.time()
+            # chunked dispatch is incompatible with per-step instrumentation:
+            # checkify wraps single steps, and the profiler start/stop hooks are
+            # per-step — fall back to K=1 rather than silently dropping either
+            K = 1 if (settings.debug_checkify or settings.profile_steps) else max(
+                1, int(settings.steps_per_dispatch)
             )
-            print(f"{split.upper()} Loss: {sl:.4f}")
-            if split == "val":
-                # parity quirk: best is only tracked for epoch > 0
-                # (2_HistoPath_train.py:378-381)
-                if sl < best_val_loss and (
-                    epoch > 0 or not settings.reference_parity
+            chunk: list = []  # buffered (arrays, step_rng, w) awaiting one scan
+            steps_since_log = 0
+            for batch in datasets["train"].batches(
+                settings.batch_size,
+                shuffle=True,
+                seed=settings.seed + epoch,
+                skip_batches=this_epoch_skip,
+                **adapter.loader_kwargs,
+                **settings.extra_loader_kwargs,
+            ):
+                arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
+                rng, step_rng = jax.random.split(rng)
+                # logged-loss weight (host-side; defer device syncs — see below)
+                mask_np = np.asarray(batch[adapter.sample_mask_key])
+                if (
+                    settings.running_loss_weight == "events"
+                    and "vital_status" in batch
                 ):
-                    best_epoch = epoch
-                    best_val_loss = sl
-                    if ckpt is not None:
-                        ckpt.save(
-                            os.path.join(settings.save_dir, "model_dict_best"),
-                            variables,
-                        )
-        if ckpt is not None:
-            ckpt.save(state_path, _full_state())
+                    # parity: GeneExpress/EarlyFusion weight the logged loss by
+                    # the event count (1_GeneExpress_train.py:166-171). The
+                    # survival drivers always carry vital_status; other tasks
+                    # fall through to sample weighting.
+                    w = float(
+                        (np.asarray(batch["vital_status"], np.float64)
+                         * mask_np).sum()
+                    )
+                else:
+                    w = float(mask_np.sum())
+
+                if K > 1:
+                    chunk.append((arrays, step_rng, w))
+                    if len(chunk) < K:
+                        continue
+                    stacked = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
+                    )
+                    keys = jnp.stack([c[1] for c in chunk])
+                    params, new_stats, opt_state, losses = train_chunk(
+                        params, batch_stats, opt_state, stacked, keys
+                    )
+                    for i, (_, _, wi) in enumerate(chunk):
+                        step += 1
+                        epoch_step += 1
+                        pending_losses.append((losses[i], wi, step))
+                    chunk = []
+                    advanced = K
+                else:
+                    if settings.profile_steps and step == 5:
+                        jax.profiler.start_trace(settings.profile_dir)
+                    params, new_stats, opt_state, loss = run_step(
+                        params, batch_stats, opt_state, arrays, step_rng
+                    )
+                    if settings.profile_steps and step == 5 + settings.profile_steps:
+                        jax.block_until_ready(loss)
+                        jax.profiler.stop_trace()
+                        print(f"wrote profiler trace to {settings.profile_dir}")
+                    step += 1
+                    epoch_step += 1
+                    # defer host syncs: fetching float(loss) every step would
+                    # block dispatch of the next step; losses drain at
+                    # log_interval / epoch end, keeping dispatch async
+                    pending_losses.append((loss, w, step))
+                    advanced = 1
+                if batch_stats is not None:
+                    batch_stats = new_stats
+                steps_since_log += advanced
+                # `step` just crossed a multiple of log_interval (== 0 for K=1)
+                if step % settings.log_interval < advanced:
+                    running_loss, seen = _drain_losses(
+                        pending_losses, running_loss, seen, settings, epoch
+                    )
+                    # parity: the printed loss is a WINDOWED average over the
+                    # batches since the last log line, not cumulative
+                    # (2_HistoPath_train.py:346-358 resets inputs_seen per log)
+                    window = running_loss - last_running_loss
+                    window_seen = seen - last_seen
+                    last_running_loss, last_seen = running_loss, seen
+                    loss_to_log = window / max(window_seen, 1e-9)
+                    speed = steps_since_log * settings.batch_size / (
+                        time.time() - t_last
+                    )
+                    t_last = time.time()
+                    steps_since_log = 0
+                    print(
+                        f"train | epoch {epoch} | step {step} | "
+                        f"loss {loss_to_log:10.3f} |{speed:10.3f} bags/s"
+                    )
+                    if writer is not None:
+                        writer.scalar("train/loss", loss_to_log, step)
+                        writer.scalar("train/bags_per_s", speed, step)
+                _maybe_preempt()
+
+            # trailing sub-chunk (epoch length not divisible by K): per-step path
+            for arrays_i, key_i, wi in chunk:
+                params, new_stats, opt_state, loss = run_step(
+                    params, batch_stats, opt_state, arrays_i, key_i
+                )
+                if batch_stats is not None:
+                    batch_stats = new_stats
+                step += 1
+                epoch_step += 1
+                pending_losses.append((loss, wi, step))
+                _maybe_preempt()
+
+            running_loss, seen = _drain_losses(
+                pending_losses, running_loss, seen, settings, epoch
+            )
+            print(f"EPOCH Loss: {running_loss / max(seen, 1e-9):.4f}")
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+
+            for split in settings.eval_splits_during_training:
+                if split not in datasets:
+                    continue
+                sl, _, _ = evaluate(
+                    adapter, variables, datasets[split], settings,
+                    split=split, epoch=epoch, writer=writer,
+                )
+                print(f"{split.upper()} Loss: {sl:.4f}")
+                if split == "val":
+                    # parity quirk: best is only tracked for epoch > 0
+                    # (2_HistoPath_train.py:378-381)
+                    if sl < best_val_loss and (
+                        epoch > 0 or not settings.reference_parity
+                    ):
+                        best_epoch = epoch
+                        best_val_loss = sl
+                        if ckpt is not None:
+                            ckpt.save(
+                                os.path.join(settings.save_dir, "model_dict_best"),
+                                variables,
+                            )
+            epoch_step = 0  # epoch complete: the boundary save resumes at epoch+1
+            if ckpt is not None:
+                ckpt.save(state_path, _full_state())
+    finally:
+        if handler_installed:
+            signal.signal(signal.SIGTERM, prev_handler)
 
     epoch = settings.num_epochs - 1
     variables = {"params": params}

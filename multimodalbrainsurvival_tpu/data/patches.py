@@ -178,10 +178,16 @@ class PatchBagDataset:
                 out[k] = np.int32(entry[k])
         return out
 
-    def _assemble(self, items: list[dict], batch_size: int) -> dict:
-        b = len(items)
+    def _assemble(
+        self, items: list[dict], batch_size: int, *, patch_bag=None
+    ) -> dict:
+        """Pack per-item dicts into one statically shaped batch. When the
+        native batch assembler already wrote the pixels (``patch_bag``
+        given, items carry ``patch_bag=None``), only metadata is packed."""
         batch: dict = {
-            "patch_bag": np.zeros(
+            "patch_bag": patch_bag
+            if patch_bag is not None
+            else np.zeros(
                 (batch_size, self.bag_size, self.img_size, self.img_size, 3),
                 np.uint8,
             ),
@@ -198,7 +204,8 @@ class PatchBagDataset:
         for k in scalar_keys:
             batch[k] = np.zeros((batch_size,), np.asarray(items[0][k]).dtype)
         for i, it in enumerate(items):
-            batch["patch_bag"][i] = it["patch_bag"]
+            if it["patch_bag"] is not None:
+                batch["patch_bag"][i] = it["patch_bag"]
             batch["bag_mask"][i] = it["bag_mask"]
             batch["sample_mask"][i] = True
             batch["WSI"][i] = it["WSI"]
@@ -206,6 +213,76 @@ class PatchBagDataset:
             for k in scalar_keys:
                 batch[k][i] = it[k]
         return batch
+
+    def _bag_meta(self, item_idx: int) -> dict:
+        """Everything ``_load_bag`` returns except the decoded pixels —
+        the native batch assembler writes those directly into the batch
+        buffer (``_load_batch``). Subclasses adding per-item arrays
+        (rna_data) extend this like they extend ``_load_bag``."""
+        wsi, off = self.index[item_idx]
+        entry = self.data[wsi]
+        n = len(entry["images"][off : off + self.bag_size])
+        bag_mask = np.zeros((self.bag_size,), bool)
+        bag_mask[:n] = True
+        return {"patch_bag": None, "bag_mask": bag_mask, **self._labels(entry)}
+
+    def _shard_mmap(self, entry: dict) -> np.ndarray:
+        shard = entry.get("_mmap")
+        if shard is None:
+            shard = np.load(entry["packed_path"], mmap_mode="r")
+            entry["_mmap"] = shard
+        return shard
+
+    def _load_batch(
+        self, idx: np.ndarray, batch_size: int, num_threads: int
+    ) -> dict:
+        """Assemble a whole batch in ONE native call (utils/native.py):
+        packed-shard rows are memcpy'd and PNGs decoded by the C++ thread
+        pool straight into the final batch buffer — no per-bag
+        intermediates, no per-item Python copies, GIL released. Output is
+        byte-identical to the per-bag path (tested)."""
+        from multimodalbrainsurvival_tpu.utils import native
+
+        bag, hw = self.bag_size, self.img_size
+        buf = np.zeros((batch_size, bag, hw, hw, 3), np.uint8)
+        flat = buf.reshape(-1, hw, hw, 3)
+        n_slots = batch_size * bag
+        paths: list = [None] * n_slots
+        srcs = np.zeros(n_slots, np.uintp)
+        src_h = np.zeros(n_slots, np.int32)
+        src_w = np.zeros(n_slots, np.int32)
+        shard_rows: dict[int, tuple] = {}  # slot -> (shard, row) for retries
+        for i, item_idx in enumerate(idx):
+            wsi, off = self.index[item_idx]
+            entry = self.data[wsi]
+            items = entry["images"][off : off + bag]
+            if entry.get("packed_path"):
+                shard = self._shard_mmap(entry)
+                hs, ws = shard.shape[1], shard.shape[2]
+                base = shard.ctypes.data
+                stride = shard.strides[0]
+                for j, row in enumerate(items):
+                    slot = i * bag + j
+                    srcs[slot] = base + int(row) * stride
+                    src_h[slot], src_w[slot] = hs, ws
+                    shard_rows[slot] = (shard, int(row))
+            else:
+                for j, p in enumerate(items):
+                    paths[i * bag + j] = p
+        codes = native.assemble_patch_batch(
+            paths, srcs, src_h, src_w, flat, num_threads=num_threads
+        )
+        for slot in np.nonzero(codes)[0]:
+            if codes[slot] == 200:  # shard row needs a resize (cv2, as ever)
+                shard, row = shard_rows[slot]
+                flat[slot] = cv2.resize(
+                    np.asarray(shard[row]), (hw, hw),
+                    interpolation=cv2.INTER_LINEAR,
+                )
+            else:  # exotic PNG / missing file: same cv2 fallback as _load_bag
+                flat[slot] = _read_patch(paths[slot], hw)
+        items_meta = [self._bag_meta(k) for k in idx]
+        return self._assemble(items_meta, batch_size, patch_bag=buf)
 
     def batches(
         self,
@@ -251,13 +328,25 @@ class PatchBagDataset:
         def producer():
             # exceptions are forwarded to the consumer instead of hanging it
             try:
-                with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                if self.use_native:
+                    # whole-batch native assembly: one GIL-free C++ call per
+                    # batch (memcpy packed rows / decode PNGs straight into
+                    # the batch buffer) — see _load_batch
                     for idx in batch_indices():
                         if stop.is_set():
                             return
-                        items = list(pool.map(self._load_bag, idx))
-                        if not _put(self._assemble(items, batch_size)):
+                        if not _put(
+                            self._load_batch(idx, batch_size, num_threads)
+                        ):
                             return
+                else:
+                    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                        for idx in batch_indices():
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self._load_bag, idx))
+                            if not _put(self._assemble(items, batch_size)):
+                                return
                 _put(sentinel)
             except BaseException as e:  # noqa: BLE001
                 _put(e)
@@ -313,11 +402,19 @@ class PatchRNADataset(PatchBagDataset):
         out["rna_data"] = self.data[wsi]["rna_data"]
         return out
 
-    def _assemble(self, items: list[dict], batch_size: int) -> dict:
+    def _bag_meta(self, item_idx: int) -> dict:
+        out = super()._bag_meta(item_idx)
+        wsi, _ = self.index[item_idx]
+        out["rna_data"] = self.data[wsi]["rna_data"]
+        return out
+
+    def _assemble(
+        self, items: list[dict], batch_size: int, *, patch_bag=None
+    ) -> dict:
         rna = np.zeros((batch_size, self.rna_dim), np.float32)
         for i, it in enumerate(items):
             rna[i] = it.pop("rna_data")
-        batch = super()._assemble(items, batch_size)
+        batch = super()._assemble(items, batch_size, patch_bag=patch_bag)
         batch["rna_data"] = rna
         batch["patch"] = batch["patch_bag"][:, 0]
         return batch
@@ -345,10 +442,18 @@ class PatchBagRNADataset(PatchBagDataset):
         out["rna_data"] = self.data[wsi]["rna_data"]
         return out
 
-    def _assemble(self, items: list[dict], batch_size: int) -> dict:
+    def _bag_meta(self, item_idx: int) -> dict:
+        out = super()._bag_meta(item_idx)
+        wsi, _ = self.index[item_idx]
+        out["rna_data"] = self.data[wsi]["rna_data"]
+        return out
+
+    def _assemble(
+        self, items: list[dict], batch_size: int, *, patch_bag=None
+    ) -> dict:
         rna = np.zeros((batch_size, self.rna_dim), np.float32)
         for i, it in enumerate(items):
             rna[i] = it.pop("rna_data")
-        batch = super()._assemble(items, batch_size)
+        batch = super()._assemble(items, batch_size, patch_bag=patch_bag)
         batch["rna_data"] = rna
         return batch

@@ -66,6 +66,19 @@ def get_library():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.assemble_patch_batch.restype = ctypes.c_int
+            lib.assemble_patch_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),   # paths (NULL-able)
+                ctypes.POINTER(ctypes.c_void_p),   # raw RGB srcs (NULL-able)
+                ctypes.POINTER(ctypes.c_int),      # src_h
+                ctypes.POINTER(ctypes.c_int),      # src_w
+                ctypes.c_int,                      # n slots
+                ctypes.POINTER(ctypes.c_uint8),    # out (n, h, w, 3)
+                ctypes.c_int,                      # h
+                ctypes.c_int,                      # w
+                ctypes.c_int,                      # num_threads
+                ctypes.POINTER(ctypes.c_int),      # codes
+            ]
             _lib = lib
         except OSError as e:
             print(f"native patch loader load failed ({e}); using cv2 fallback")
@@ -95,6 +108,50 @@ def decode_patch_batch(
     codes = np.zeros(n, np.int32)
     lib.decode_patch_batch(
         arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        num_threads,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return codes
+
+
+def assemble_patch_batch(
+    paths: list[str | None],
+    srcs: np.ndarray,
+    src_h: np.ndarray,
+    src_w: np.ndarray,
+    out: np.ndarray,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Fill ``out`` (n, h, w, 3) uint8 in ONE native call: slot i comes from a
+    raw RGB pointer (``srcs[i] != 0`` — a packed-shard row, memcpy'd) or a PNG
+    path (decoded), else stays zero (padding). The call runs with the GIL
+    released on a C++ thread pool.
+
+    Returns per-slot int32 codes: 0 ok, 200 = shard-row size mismatch (caller
+    resizes that slot), other = PNG decode failure (caller retries via cv2).
+    """
+    lib = get_library()
+    if lib is None:
+        raise RuntimeError("native patch loader unavailable")
+    n, h, w, c = out.shape
+    assert c == 3 and out.dtype == np.uint8 and out.flags.c_contiguous
+    assert len(paths) == n and srcs.shape == (n,)
+    path_arr = (ctypes.c_char_p * n)(
+        *[p.encode() if p is not None else None for p in paths]
+    )
+    srcs = np.ascontiguousarray(srcs, dtype=np.uintp)
+    src_h = np.ascontiguousarray(src_h, dtype=np.int32)
+    src_w = np.ascontiguousarray(src_w, dtype=np.int32)
+    codes = np.zeros(n, np.int32)
+    lib.assemble_patch_batch(
+        path_arr,
+        srcs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        src_h.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        src_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h,

@@ -202,6 +202,48 @@ int DecodeFileToRgb(const char* path, uint8_t* dst, int out_h, int out_w) {
 
 extern "C" {
 
+// Whole-batch assembler: one native call builds the flat (n, h, w, 3) uint8
+// patch tensor of a batch. Slot i is filled from EITHER a raw RGB row of a
+// packed mmap'd shard (srcs[i] != NULL: memcpy, sizes must match) OR a PNG
+// file (paths[i] != NULL: decode+resize), else left untouched (zero-padded
+// bag/sample slots). Runs on a thread pool with the GIL released — this
+// replaces the Python per-bag gather + per-item assembly copies with a
+// single pass writing straight into the final batch buffer.
+// codes[i]: 0 ok; 200 = shard-row size mismatch (Python resizes that slot);
+// other non-zero = PNG decode error (Python retries via cv2, row zeroed).
+// Returns the number of non-zero codes.
+int assemble_patch_batch(const char** paths, const uint8_t* const* srcs,
+                         const int* src_h, const int* src_w, int n,
+                         uint8_t* out, int h, int w, int num_threads,
+                         int* codes) {
+  const size_t row = size_t(h) * w * 3;
+  std::atomic<int> next(0), errors(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = 0;
+      if (srcs[i] != nullptr) {
+        if (src_h[i] == h && src_w[i] == w) {
+          memcpy(out + row * i, srcs[i], row);
+        } else {
+          rc = 200;
+        }
+      } else if (paths[i] != nullptr) {
+        rc = DecodeFileToRgb(paths[i], out + row * i, h, w);
+        if (rc != 0) memset(out + row * i, 0, row);
+      }
+      codes[i] = rc;
+      if (rc != 0) errors.fetch_add(1);
+    }
+  };
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < num_threads && t < n; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return errors.load();
+}
+
 // Decodes n PNG files into out (n, h, w, 3) uint8. codes[i] gets the per-file
 // status (0 = ok). Rows with a non-zero code are left zero-filled for the
 // Python side to retry via its fallback decoder. Returns the error count.

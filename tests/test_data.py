@@ -199,6 +199,56 @@ def test_packed_shard_path(patch_root):
     )
 
 
+def test_native_batch_assembler_matches_python_path(tmp_path):
+    """The whole-batch C++ assembler (native.assemble_patch_batch via
+    PatchBagDataset._load_batch) must produce byte-identical batches to the
+    per-bag Python path across: PNG dirs, packed shards (memcpy), packed
+    shards needing a resize (cv2 fallback slot), and the RNA-joint subclass
+    (per-item extras through _bag_meta)."""
+    from multimodalbrainsurvival_tpu.data.tiler import pack_patch_dir
+    from multimodalbrainsurvival_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    root = tmp_path / "patches"
+    make_patch_dir(str(root), "W1", 7)
+    make_patch_dir(str(root), "W2", 5)
+    csv = tmp_path / "joint.csv"
+    make_survival_csv(str(csv), ["c1", "c2"], wsi_names=["W1.svs", "W2.svs"],
+                      n_rna=6)
+
+    def compare(make_ds, batch_size):
+        a_ds = make_ds("cv2")      # per-bag Python path
+        b_ds = make_ds("native")   # whole-batch C++ assembler
+        got_any = False
+        for a, b in zip(a_ds.batches(batch_size, num_threads=2),
+                        b_ds.batches(batch_size, num_threads=2)):
+            got_any = True
+            assert a.keys() == b.keys()
+            for k in a:
+                if isinstance(a[k], list):
+                    assert a[k] == b[k], k
+                else:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert got_any
+
+    # PNG decode path (odd batch → padded slots stay zero)
+    compare(lambda d: PatchBagDataset(str(root), str(csv), img_size=32,
+                                      bag_size=2, keep_remainder=True,
+                                      decoder=d), 3)
+    # packed shards: memcpy path + resize-slot path
+    for w in ("W1", "W2"):
+        pack_patch_dir(os.path.join(str(root), w))
+    compare(lambda d: PatchBagDataset(str(root), str(csv), img_size=32,
+                                      bag_size=2, decoder=d), 3)
+    compare(lambda d: PatchBagDataset(str(root), str(csv), img_size=24,
+                                      bag_size=2, decoder=d), 2)
+    # joint subclass: rna_data flows through _bag_meta identically
+    compare(lambda d: PatchBagRNADataset(str(root), str(csv), img_size=32,
+                                         bag_size=2, decoder=d), 2)
+
+
 def test_patch_bag_corrupt_png_raises_not_hangs(patch_root):
     """A decode failure in the producer thread must propagate, not deadlock."""
     root, csv = patch_root

@@ -10,7 +10,13 @@ one coordinator), not prose.
 Usage: python _multihost_worker.py <process_id> <num_processes> <coord_addr>
 """
 
+import os
 import sys
+
+# self-sufficient import: the worker must find the package even if the
+# editable install is absent in this interpreter (observed: the venv's
+# site-packages can be recreated under this container)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

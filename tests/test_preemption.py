@@ -138,6 +138,77 @@ def test_preemption_at_last_batch_of_epoch_resumes_cleanly(tmp_path):
     _assert_tree_equal(v_straight["params"], v_resumed["params"])
 
 
+def test_midepoch_preemption_resume_exact_mil_patch_pipeline(tmp_path):
+    """The hard variant: a patch-bag MIL pipeline. Mid-epoch resume must
+    replay the in-slide shuffle stream (fast-forward + skip-once for the
+    interrupted epoch), the loader's per-epoch batch order, BN statistics,
+    and the augmentation/dropout PRNG stream — params must match the
+    uninterrupted run bitwise."""
+    import optax
+
+    from helpers import make_patch_dir
+
+    from multimodalbrainsurvival_tpu.data import PatchBagDataset
+    from multimodalbrainsurvival_tpu.models import (
+        AggregationModel,
+        make_aggregator,
+        resnet18,
+    )
+    from multimodalbrainsurvival_tpu.train import (
+        TrainingPreempted,
+        TrainSettings,
+        train_model,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+
+    root = tmp_path / "patches"
+    make_patch_dir(str(root), "W1", 8, img_size=16)
+    make_patch_dir(str(root), "W2", 8, img_size=16)
+    csv = tmp_path / "ffpe.csv"
+    make_survival_csv(str(csv), ["c1", "c2"], wsi_names=["W1.svs", "W2.svs"])
+
+    def make_adapter():
+        return MILAdapter(
+            model=AggregationModel(
+                resnet=resnet18(),
+                aggregator=make_aggregator("identity", dim=512),
+                aggregator_dim=512,
+                out_features=1,
+            ),
+            loader_kwargs={"num_threads": 2},
+        )
+
+    def make_ds():
+        return PatchBagDataset(str(root), str(csv), img_size=16, bag_size=2)
+
+    def settings(save_dir, *, resume=False, preempt_after=0):
+        return TrainSettings(
+            num_epochs=2, batch_size=2, save_dir=save_dir, seed=23,
+            eval_splits_during_training=(), resume=resume,
+            preempt_after_steps=preempt_after,
+        )
+
+    # 8 bags / batch 2 -> 4 steps per epoch
+    ds = make_ds()
+    v_straight, _, _ = train_model(
+        make_adapter(), {"train": ds, "val": ds}, optax.adam(1e-3),
+        settings(str(tmp_path / "a")),
+    )
+    with pytest.raises(TrainingPreempted) as exc:
+        train_model(make_adapter(), {"train": make_ds(), "val": make_ds()},
+                    optax.adam(1e-3),
+                    settings(str(tmp_path / "b"), preempt_after=6))
+    assert (exc.value.epoch, exc.value.epoch_step) == (1, 2)
+    v_resumed, _, _ = train_model(
+        make_adapter(), {"train": make_ds(), "val": make_ds()},
+        optax.adam(1e-3), settings(str(tmp_path / "b"), resume=True),
+    )
+    _assert_tree_equal(v_straight["params"], v_resumed["params"])
+    _assert_tree_equal(
+        v_straight.get("batch_stats", {}), v_resumed.get("batch_stats", {})
+    )
+
+
 def test_loader_skip_batches_matches_suffix(tmp_path):
     """skip_batches=k yields exactly the batches after the k-th of the same
     deterministic epoch order (tables + patch loaders)."""

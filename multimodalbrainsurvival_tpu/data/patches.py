@@ -148,10 +148,7 @@ class PatchBagDataset:
             (self.bag_size, self.img_size, self.img_size, 3), np.uint8
         )
         if entry.get("packed_path"):
-            shard = entry.get("_mmap")
-            if shard is None:
-                shard = np.load(entry["packed_path"], mmap_mode="r")
-                entry["_mmap"] = shard
+            shard = self._shard_mmap(entry)
             rows = np.asarray(shard[np.asarray(items, np.intp)])
             if rows.shape[1] != self.img_size:
                 for j, r in enumerate(rows):

@@ -414,9 +414,16 @@ def train_model(
     best_epoch = -1
     step = 0
     start_epoch = 0
-    epoch_step = 0  # batches consumed in the current epoch (preemption resume)
+    # (state_epoch, epoch_step) always describe COMPLETED work, so a state
+    # snapshot is consistent at any Python-level point: (-1, 0) = nothing
+    # done; (E, 0) = epoch E fully done (resume at E+1); (E, k>0) = k batches
+    # of epoch E done (resume re-enters E, skipping k batches)
+    state_epoch = -1
+    epoch_step = 0
     skip_batches = 0  # batches of the resumed epoch already consumed pre-preemption
     skip_shuffle_once = False  # the interrupted run already shuffled that epoch
+    running_loss, seen = 0.0, 0.0
+    pending_losses: list = []
 
     def _full_state():
         return {
@@ -424,11 +431,8 @@ def train_model(
             "batch_stats": batch_stats if batch_stats is not None else {},
             "opt_state": opt_state,
             "meta": {
-                "epoch": jnp.int32(epoch),
+                "epoch": jnp.int32(state_epoch),
                 "step": jnp.int32(step),
-                # 0 → saved at an epoch boundary (resume at epoch+1);
-                # k > 0 → emergency/preemption save after the epoch's k-th
-                # batch (resume re-enters the SAME epoch, skipping k batches)
                 "epoch_step": jnp.int32(epoch_step),
                 "best_val_loss": jnp.float32(
                     best_val_loss if np.isfinite(best_val_loss) else 1e30
@@ -449,7 +453,6 @@ def train_model(
         else None
     )
     if settings.resume and state_path and Checkpointer.exists(state_path):
-        epoch = 0
         # checkpoints written before the PRNG stream / the mid-epoch position
         # joined the state lack meta.rng / meta.epoch_step; try the richest
         # template first, then the progressively older layouts
@@ -485,11 +488,14 @@ def train_model(
             # skip the batches the interrupted run already consumed; its
             # in-loop shuffle for that epoch already happened
             start_epoch = int(restored["meta"]["epoch"])
+            state_epoch = start_epoch
+            epoch_step = resumed_epoch_step
             skip_batches = resumed_epoch_step
             skip_shuffle_once = True
             shuffles_done = start_epoch + 1
         else:
             start_epoch = int(restored["meta"]["epoch"]) + 1
+            state_epoch = start_epoch - 1
             shuffles_done = start_epoch
         print(
             f"Resumed full train state from {state_path}: epoch {start_epoch}"
@@ -554,19 +560,22 @@ def train_model(
         ):
             return
         running_loss, seen = _drain_losses(
-            pending_losses, running_loss, seen, settings, epoch
+            pending_losses, running_loss, seen, settings, state_epoch
         )
         ckpt.save(state_path, _full_state(), block=True)
         print(
-            f"PREEMPTED: saved full train state (epoch {epoch}, batch "
+            f"PREEMPTED: saved full train state (epoch {state_epoch}, batch "
             f"{epoch_step}, global step {step}) to {state_path}; rerun with "
             f"resume: true to continue exactly",
             flush=True,
         )
-        raise TrainingPreempted(epoch, epoch_step, state_path)
+        raise TrainingPreempted(state_epoch, epoch_step, state_path)
 
     try:
         for epoch in range(start_epoch, settings.num_epochs):
+            # a SIGTERM that landed during the previous epoch's eval (or
+            # before the loop) checkpoints here, before any new work
+            _maybe_preempt()
             print(f"Epoch {epoch}/{settings.num_epochs - 1}")
             print("-" * 10)
             if hasattr(datasets["train"], "shuffle"):
@@ -587,7 +596,7 @@ def train_model(
             K = 1 if (settings.debug_checkify or settings.profile_steps) else max(
                 1, int(settings.steps_per_dispatch)
             )
-            chunk: list = []  # buffered (arrays, step_rng, w) awaiting one scan
+            chunk: list = []  # buffered (arrays, w) awaiting one scan
             steps_since_log = 0
             for batch in datasets["train"].batches(
                 settings.batch_size,
@@ -597,8 +606,14 @@ def train_model(
                 **adapter.loader_kwargs,
                 **settings.extra_loader_kwargs,
             ):
+                # checked before committing to the next step, so a signal
+                # during K>1 chunk buffering waits at most one batch load.
+                # NOTE: rng is split at step EXECUTION (not batch consumption)
+                # so an emergency snapshot's PRNG stream always matches the
+                # executed-steps count — buffered-but-undispatched batches
+                # re-consume the same keys on resume (exactness tested).
+                _maybe_preempt()
                 arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
-                rng, step_rng = jax.random.split(rng)
                 # logged-loss weight (host-side; defer device syncs — see below)
                 mask_np = np.asarray(batch[adapter.sample_mask_key])
                 if (
@@ -617,25 +632,31 @@ def train_model(
                     w = float(mask_np.sum())
 
                 if K > 1:
-                    chunk.append((arrays, step_rng, w))
+                    chunk.append((arrays, w))
                     if len(chunk) < K:
                         continue
                     stacked = jax.tree.map(
                         lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
                     )
-                    keys = jnp.stack([c[1] for c in chunk])
+                    step_keys = []
+                    for _ in chunk:
+                        rng, k_i = jax.random.split(rng)
+                        step_keys.append(k_i)
                     params, new_stats, opt_state, losses = train_chunk(
-                        params, batch_stats, opt_state, stacked, keys
+                        params, batch_stats, opt_state, stacked,
+                        jnp.stack(step_keys),
                     )
-                    for i, (_, _, wi) in enumerate(chunk):
+                    for i, (_, wi) in enumerate(chunk):
                         step += 1
                         epoch_step += 1
                         pending_losses.append((losses[i], wi, step))
+                    state_epoch = epoch
                     chunk = []
                     advanced = K
                 else:
                     if settings.profile_steps and step == 5:
                         jax.profiler.start_trace(settings.profile_dir)
+                    rng, step_rng = jax.random.split(rng)
                     params, new_stats, opt_state, loss = run_step(
                         params, batch_stats, opt_state, arrays, step_rng
                     )
@@ -645,6 +666,7 @@ def train_model(
                         print(f"wrote profiler trace to {settings.profile_dir}")
                     step += 1
                     epoch_step += 1
+                    state_epoch = epoch
                     # defer host syncs: fetching float(loss) every step would
                     # block dispatch of the next step; losses drain at
                     # log_interval / epoch end, keeping dispatch async
@@ -680,7 +702,8 @@ def train_model(
                 _maybe_preempt()
 
             # trailing sub-chunk (epoch length not divisible by K): per-step path
-            for arrays_i, key_i, wi in chunk:
+            for arrays_i, wi in chunk:
+                rng, key_i = jax.random.split(rng)
                 params, new_stats, opt_state, loss = run_step(
                     params, batch_stats, opt_state, arrays_i, key_i
                 )
@@ -688,6 +711,7 @@ def train_model(
                     batch_stats = new_stats
                 step += 1
                 epoch_step += 1
+                state_epoch = epoch
                 pending_losses.append((loss, wi, step))
                 _maybe_preempt()
 
@@ -720,12 +744,22 @@ def train_model(
                                 os.path.join(settings.save_dir, "model_dict_best"),
                                 variables,
                             )
-            epoch_step = 0  # epoch complete: the boundary save resumes at epoch+1
+                # a SIGTERM during a long eval checkpoints here: the state is
+                # still (epoch, full batch count), so the resume replays the
+                # epoch-end evals + best-model bookkeeping deterministically
+                _maybe_preempt()
+            # epoch complete: the boundary save resumes at epoch+1
+            state_epoch, epoch_step = epoch, 0
             if ckpt is not None:
                 ckpt.save(state_path, _full_state())
     finally:
         if handler_installed:
-            signal.signal(signal.SIGTERM, prev_handler)
+            # signal.signal() returns None for handlers installed by
+            # non-Python code; restoring None raises, so fall back to SIG_DFL
+            signal.signal(
+                signal.SIGTERM,
+                prev_handler if prev_handler is not None else signal.SIG_DFL,
+            )
 
     epoch = settings.num_epochs - 1
     variables = {"params": params}

@@ -80,7 +80,10 @@ def get_library():
                 ctypes.POINTER(ctypes.c_int),      # codes
             ]
             _lib = lib
-        except OSError as e:
+        except (OSError, AttributeError) as e:
+            # AttributeError: a stale .so missing a newer symbol (e.g. an
+            # mtime-preserving copy of a pre-assembler build) must also fall
+            # back to cv2 instead of crashing dataset construction
             print(f"native patch loader load failed ({e}); using cv2 fallback")
             _load_failed = True
         return _lib

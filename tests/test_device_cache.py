@@ -55,6 +55,22 @@ def test_cached_batches_match_base(cohort):
             np.testing.assert_array_equal(g["vital_status"], w["vital_status"])
 
 
+def test_cached_skip_batches_matches_suffix(cohort):
+    """skip_batches (mid-epoch preemption resume) on the device cache yields
+    exactly the suffix of the same deterministic epoch order."""
+    root, csv = cohort
+    base = PatchBagDataset(root, csv, img_size=16, bag_size=2,
+                           max_patches_total=100)
+    cached = DeviceCachedPatchBags(base)
+    full = _collect(cached, 3, shuffle=True, seed=11)
+    tail = _collect(cached, 3, shuffle=True, seed=11, skip_batches=2)
+    assert len(tail) == len(full) - 2
+    for f, t in zip(full[2:], tail):
+        np.testing.assert_array_equal(np.asarray(f["patch_bag"]),
+                                      np.asarray(t["patch_bag"]))
+        assert f["WSI"] == t["WSI"]
+
+
 def test_cached_shuffle_repermutes_within_slides(cohort):
     root, csv = cohort
     base = PatchBagDataset(root, csv, img_size=16, bag_size=2,

@@ -59,18 +59,28 @@ def attribute_trace(trace_dir: str, hlo: str) -> dict[str, float]:
     with gzip.open(files[-1], "rt") as f:
         data = json.load(f)
     pid_names = {}
+    tid_names = {}
     for e in data.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_sig: dict[str, float] = defaultdict(float)
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
         if "TPU" not in pid_names.get(e.get("pid"), ""):
             continue
+        # Keep only the per-op line. The device trace also carries "Steps"
+        # and "XLA Modules" parent spans that cover the same wall time —
+        # counting those double- (or triple-) counts every op. (A round-2
+        # name-based filter missed step spans numbered >4, inflating the
+        # train-step attribution by ~45% until caught.)
+        if tid_names.get((e["pid"], e["tid"])) != "XLA Ops":
+            continue
         name = e.get("name", "")
-        if name.startswith("jit_") or name in ("0", "1", "2", "3", "4"):
-            continue  # module/step parent events — would double count
         sig = sig_of.get(name.split(".(")[0]) or sig_of.get(name)
         by_sig[sig or f"[{name.split('.')[0]}]"] += e.get("dur", 0) / 1e3
     return dict(by_sig)

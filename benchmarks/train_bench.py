@@ -2,8 +2,21 @@
 
 Measures the full flagship MIL training step — on-device augmentation,
 bf16 ResNet-50 forward+backward with mutable BN stats, Cox loss with its
-batch-global risk set, torch-semantics Adam update — as one jitted program,
-iterated inside jit (anti-CSE) so host dispatch is excluded.
+batch-global risk set, torch-semantics Adam update — as one jitted program
+dispatched per step with a device-carried PRNG key (exactly how
+``train/loop.py`` drives it: every input is device-resident, each step is
+one async enqueue, block only at the end).
+
+``--method fori`` instead iterates inside one jitted ``lax.fori_loop``.
+Measured on v5e-1 this is ~20% SLOWER than per-step dispatch (25.9 vs
+21.7 ms/step at b128/bag1/freeze-2): XLA cannot pipeline/double-buffer
+across sequential loop iterations the way the hardware queue pipelines
+back-to-back executions, so in-jit looping is the wrong measurement AND
+the wrong production schedule (same finding as the ``steps_per_dispatch``
+scan — docs/DESIGN.md item 11). Trace attribution of queued steps puts the
+device-bound figure at 17.4 ms/step = 7,351 bags/s
+(``benchmarks/profile_serving.attribute_trace``); per-step wall on this
+tunneled chip pays ~4 ms/step of dispatch RTT on top.
 
 ``--n_layers_to_train`` applies the reference's freeze ladder
 (default 2 = [fc, layer4] + aggregator, ``config_ffpe_train.json``): frozen
@@ -31,8 +44,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--bag", type=int, default=4)
-    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--iters", type=int, default=24)
     p.add_argument("--n_layers_to_train", type=int, default=2)
+    p.add_argument("--method", choices=("dispatch", "fori"),
+                   default="dispatch")
     a = p.parse_args(argv)
 
     import jax
@@ -81,47 +96,58 @@ def main(argv=None):
             if lab == "_frozen" else leaf, p, labels,
         )
 
+    def one_step(params, batch_stats, opt_state, key):
+        key, sub = jax.random.split(key)
+        k1, k2 = jax.random.split(sub)
+
+        def loss_fn(p):
+            p = tie_off(p)
+            h = preprocess_patches(x, train=True, key=k1, dtype=jnp.bfloat16)
+            (out, _), upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, h, mask=mask,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": k2},
+            )
+            return cox_partial_likelihood_loss(out[:, 0], t, e), upd[
+                "batch_stats"
+            ]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, key
+
+    step = jax.jit(one_step)
+
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1, 2))
-    def train_n(params, batch_stats, opt_state, x, key, n):
+    def train_n(params, batch_stats, opt_state, key, n):
         def body(i, carry):
-            params, batch_stats, opt_state = carry
-            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-
-            def loss_fn(p):
-                p = tie_off(p)
-                h = preprocess_patches(
-                    x ^ i.astype(jnp.uint8), train=True, key=k1,
-                    dtype=jnp.bfloat16,
-                )
-                (out, _), upd = model.apply(
-                    {"params": p, "batch_stats": batch_stats}, h, mask=mask,
-                    train=True, mutable=["batch_stats"],
-                    rngs={"dropout": k2},
-                )
-                return cox_partial_likelihood_loss(out[:, 0], t, e), upd[
-                    "batch_stats"
-                ]
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_stats, new_opt
+            return one_step(*carry[:3], jax.random.fold_in(key, i))[:3]
 
         return jax.lax.fori_loop(
             0, n, body, (params, batch_stats, opt_state)
         )
 
     params, batch_stats = variables["params"], variables["batch_stats"]
-    params, batch_stats, opt_state = jax.block_until_ready(
-        train_n(params, batch_stats, opt_state, x, jax.random.PRNGKey(1),
-                a.iters)
-    )
+
+    def run(n0):
+        nonlocal_state = [params, batch_stats, opt_state]
+        if a.method == "fori":
+            nonlocal_state[:] = jax.block_until_ready(train_n(
+                *nonlocal_state, jax.random.PRNGKey(n0), a.iters
+            ))
+        else:
+            key = jax.device_put(jax.random.PRNGKey(n0))
+            for _ in range(a.iters):
+                p, bs, o, key = step(*nonlocal_state, key)
+                nonlocal_state[:] = [p, bs, o]
+            jax.block_until_ready(nonlocal_state[0])
+        return nonlocal_state
+
+    params, batch_stats, opt_state = run(1)  # compile + warm
     t0 = time.perf_counter()
-    params, batch_stats, opt_state = jax.block_until_ready(
-        train_n(params, batch_stats, opt_state, x, jax.random.PRNGKey(2),
-                a.iters)
-    )
+    params, batch_stats, opt_state = run(2)
     dt = time.perf_counter() - t0
     bags_s = B * a.iters / dt
     print(

@@ -126,7 +126,6 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
-        steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)

@@ -74,7 +74,6 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
-        steps_per_dispatch=int(config.get("steps_per_dispatch", 1)),
         device_put_fn=make_device_put(config),
         # parity: the reference weights the LOGGED running loss by the batch
         # event count (1_GeneExpress_train.py:166-171); logging only

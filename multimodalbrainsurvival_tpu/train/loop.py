@@ -113,13 +113,6 @@ class TrainSettings:
     #   Logging-only — training dynamics are identical either way.
     pre_training_eval: bool = False
     running_loss_weight: str = "samples"  # "samples" | "events"
-    # steps_per_dispatch > 1 chains that many optimizer steps inside ONE
-    # compiled lax.scan call, amortizing per-step dispatch latency (matters
-    # on remote/tunneled chips where a dispatch round-trip rivals the step
-    # itself). Numerically identical to per-step dispatch — same batches,
-    # same PRNG sequence (tested bitwise). Trailing sub-chunks fall back to
-    # the per-step path. Ignored under debug_checkify.
-    steps_per_dispatch: int = 1
     # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
     # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
     # entire backward — the exact analog of the reference's
@@ -242,7 +235,9 @@ def evaluate(
         arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
         out, loss = eval_step(variables, arrays)
         losses.append(float(loss))
-        mask = np.asarray(batch[adapter.sample_mask_key])
+        mask = np.asarray(
+            batch.get("host_sample_mask", batch[adapter.sample_mask_key])
+        )
         outputs.append(np.asarray(out)[mask])
         for k, v in _collect_ids(batch, mask, adapter.id_keys).items():
             ids[k].extend(v)
@@ -367,44 +362,35 @@ def train_model(
             )
             return params, new_stats, opt_state, loss, err
 
-        def run_step(params, batch_stats, opt_state, arrays, step_rng):
+        def run_step(params, batch_stats, opt_state, arrays, rng):
             # debug mode: forward-only with op-level NaN localization
+            rng, step_rng = jax.random.split(rng)
             _, new_stats, _, loss, err = train_step(
                 params, batch_stats, opt_state, arrays, step_rng
             )
             err.throw()
-            return params, new_stats, opt_state, loss
+            return params, new_stats, opt_state, loss, rng
 
     else:
 
+        # The PRNG split happens INSIDE the jitted step (same key stream —
+        # jax.random.split is deterministic wherever it's traced): every
+        # per-step input is then the device-resident output of the previous
+        # dispatch, so driving the loop costs one async enqueue per step with
+        # zero host→device transfers. Measured on the tunneled v5e: a
+        # separate host-side split dispatch per step cost ~17% wall
+        # (benchmarks/train_bench.py --method comparison).
         @jax.jit
-        def train_step(params, batch_stats, opt_state, arrays, step_rng):
+        def train_step(params, batch_stats, opt_state, arrays, rng):
+            rng, step_rng = jax.random.split(rng)
             (loss, new_stats), grads = jax.value_and_grad(
                 _forward_loss, has_aux=True
             )(params, batch_stats, arrays, step_rng)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_stats, new_opt_state, loss
+            return new_params, new_stats, new_opt_state, loss, rng
 
         run_step = train_step
-
-        @jax.jit
-        def train_chunk(params, batch_stats, opt_state, stacked, keys):
-            """steps_per_dispatch optimizer steps in one compiled scan."""
-
-            def body(carry, xs):
-                p, bs, o = carry
-                arrays, k = xs
-                (loss, new_stats), grads = jax.value_and_grad(
-                    _forward_loss, has_aux=True
-                )(p, bs, arrays, k)
-                updates, o2 = tx.update(grads, o, p)
-                return (optax.apply_updates(p, updates), new_stats, o2), loss
-
-            (params, batch_stats, opt_state), losses = jax.lax.scan(
-                body, (params, batch_stats, opt_state), (stacked, keys)
-            )
-            return params, batch_stats, opt_state, losses
 
     ckpt = Checkpointer() if settings.save_dir else None
     if settings.save_dir:
@@ -590,13 +576,6 @@ def train_model(
             last_running_loss, last_seen = 0.0, 0.0
             pending_losses: list = []
             t_last = time.time()
-            # chunked dispatch is incompatible with per-step instrumentation:
-            # checkify wraps single steps, and the profiler start/stop hooks are
-            # per-step — fall back to K=1 rather than silently dropping either
-            K = 1 if (settings.debug_checkify or settings.profile_steps) else max(
-                1, int(settings.steps_per_dispatch)
-            )
-            chunk: list = []  # buffered (arrays, w) awaiting one scan
             steps_since_log = 0
             for batch in datasets["train"].batches(
                 settings.batch_size,
@@ -606,77 +585,55 @@ def train_model(
                 **adapter.loader_kwargs,
                 **settings.extra_loader_kwargs,
             ):
-                # checked before committing to the next step, so a signal
-                # during K>1 chunk buffering waits at most one batch load.
-                # NOTE: rng is split at step EXECUTION (not batch consumption)
-                # so an emergency snapshot's PRNG stream always matches the
-                # executed-steps count — buffered-but-undispatched batches
-                # re-consume the same keys on resume (exactness tested).
+                # NOTE: rng is split inside run_step at step EXECUTION, so an
+                # emergency snapshot's PRNG stream always matches the
+                # executed-steps count (exactness tested).
                 _maybe_preempt()
                 arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
-                # logged-loss weight (host-side; defer device syncs — see below)
-                mask_np = np.asarray(batch[adapter.sample_mask_key])
+                # logged-loss weight (host-side; defer device syncs — see
+                # below). Loaders that assemble batches on device supply
+                # ``host_*`` numpy mirrors so this never fetches a device
+                # value (data/device_cache.py).
+                mask_np = np.asarray(
+                    batch.get("host_sample_mask",
+                              batch[adapter.sample_mask_key])
+                )
+                vital_np = batch.get("host_vital_status",
+                                     batch.get("vital_status"))
                 if (
                     settings.running_loss_weight == "events"
-                    and "vital_status" in batch
+                    and vital_np is not None
                 ):
                     # parity: GeneExpress/EarlyFusion weight the logged loss by
                     # the event count (1_GeneExpress_train.py:166-171). The
                     # survival drivers always carry vital_status; other tasks
                     # fall through to sample weighting.
                     w = float(
-                        (np.asarray(batch["vital_status"], np.float64)
-                         * mask_np).sum()
+                        (np.asarray(vital_np, np.float64) * mask_np).sum()
                     )
                 else:
                     w = float(mask_np.sum())
 
-                if K > 1:
-                    chunk.append((arrays, w))
-                    if len(chunk) < K:
-                        continue
-                    stacked = jax.tree.map(
-                        lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
-                    )
-                    step_keys = []
-                    for _ in chunk:
-                        rng, k_i = jax.random.split(rng)
-                        step_keys.append(k_i)
-                    params, new_stats, opt_state, losses = train_chunk(
-                        params, batch_stats, opt_state, stacked,
-                        jnp.stack(step_keys),
-                    )
-                    for i, (_, wi) in enumerate(chunk):
-                        step += 1
-                        epoch_step += 1
-                        pending_losses.append((losses[i], wi, step))
-                    state_epoch = epoch
-                    chunk = []
-                    advanced = K
-                else:
-                    if settings.profile_steps and step == 5:
-                        jax.profiler.start_trace(settings.profile_dir)
-                    rng, step_rng = jax.random.split(rng)
-                    params, new_stats, opt_state, loss = run_step(
-                        params, batch_stats, opt_state, arrays, step_rng
-                    )
-                    if settings.profile_steps and step == 5 + settings.profile_steps:
-                        jax.block_until_ready(loss)
-                        jax.profiler.stop_trace()
-                        print(f"wrote profiler trace to {settings.profile_dir}")
-                    step += 1
-                    epoch_step += 1
-                    state_epoch = epoch
-                    # defer host syncs: fetching float(loss) every step would
-                    # block dispatch of the next step; losses drain at
-                    # log_interval / epoch end, keeping dispatch async
-                    pending_losses.append((loss, w, step))
-                    advanced = 1
+                if settings.profile_steps and step == 5:
+                    jax.profiler.start_trace(settings.profile_dir)
+                params, new_stats, opt_state, loss, rng = run_step(
+                    params, batch_stats, opt_state, arrays, rng
+                )
+                if settings.profile_steps and step == 5 + settings.profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    print(f"wrote profiler trace to {settings.profile_dir}")
+                step += 1
+                epoch_step += 1
+                state_epoch = epoch
+                # defer host syncs: fetching float(loss) every step would
+                # block dispatch of the next step; losses drain at
+                # log_interval / epoch end, keeping dispatch async
+                pending_losses.append((loss, w, step))
                 if batch_stats is not None:
                     batch_stats = new_stats
-                steps_since_log += advanced
-                # `step` just crossed a multiple of log_interval (== 0 for K=1)
-                if step % settings.log_interval < advanced:
+                steps_since_log += 1
+                if step % settings.log_interval == 0:
                     running_loss, seen = _drain_losses(
                         pending_losses, running_loss, seen, settings, epoch
                     )
@@ -699,20 +656,6 @@ def train_model(
                     if writer is not None:
                         writer.scalar("train/loss", loss_to_log, step)
                         writer.scalar("train/bags_per_s", speed, step)
-                _maybe_preempt()
-
-            # trailing sub-chunk (epoch length not divisible by K): per-step path
-            for arrays_i, wi in chunk:
-                rng, key_i = jax.random.split(rng)
-                params, new_stats, opt_state, loss = run_step(
-                    params, batch_stats, opt_state, arrays_i, key_i
-                )
-                if batch_stats is not None:
-                    batch_stats = new_stats
-                step += 1
-                epoch_step += 1
-                state_epoch = epoch
-                pending_losses.append((loss, wi, step))
                 _maybe_preempt()
 
             running_loss, seen = _drain_losses(

@@ -209,56 +209,6 @@ def test_midepoch_preemption_resume_exact_mil_patch_pipeline(tmp_path):
     )
 
 
-def test_trailing_chunk_preemption_resume_is_exact(tmp_path):
-    """steps_per_dispatch K>1 with an epoch not divisible by K: a preemption
-    inside the trailing per-step sub-chunk must still resume bitwise-exactly.
-    (Regression: rng used to be split at batch CONSUMPTION, so keys for the
-    buffered-but-undispatched batches were burned before the emergency save;
-    rng now splits at step EXECUTION.)"""
-    import optax
-
-    from multimodalbrainsurvival_tpu.data import RNATableDataset
-    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
-    from multimodalbrainsurvival_tpu.train import (
-        TrainingPreempted,
-        TrainSettings,
-        train_model,
-    )
-    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
-
-    make_survival_csv(str(tmp_path / "rna.csv"),
-                      [f"c{i}" for i in range(48)], n_rna=8, seed=4)
-    ds = RNATableDataset(str(tmp_path / "rna.csv"))
-
-    def make():
-        return TableAdapter(
-            model=RNAOnlyModel(
-                encoder=RNAEncoder(hidden_dims=(16, 8), dropout=0.5)
-            )
-        )
-
-    def settings(save_dir, *, resume=False, preempt_after=0):
-        return TrainSettings(
-            num_epochs=2, batch_size=8, save_dir=save_dir, seed=17,
-            eval_splits_during_training=("val",), resume=resume,
-            preempt_after_steps=preempt_after, steps_per_dispatch=4,
-        )
-
-    # 6 batches/epoch, K=4 -> steps 1-4 in one scan, 5-6 in the trailing loop
-    v_straight, _, _ = train_model(
-        make(), {"train": ds, "val": ds}, optax.adam(1e-3),
-        settings(str(tmp_path / "a")),
-    )
-    with pytest.raises(TrainingPreempted) as exc:
-        train_model(make(), {"train": ds, "val": ds}, optax.adam(1e-3),
-                    settings(str(tmp_path / "b"), preempt_after=5))
-    assert (exc.value.epoch, exc.value.epoch_step) == (0, 5)
-    v_resumed, _, _ = train_model(
-        make(), {"train": ds, "val": ds}, optax.adam(1e-3),
-        settings(str(tmp_path / "b"), resume=True),
-    )
-    _assert_tree_equal(v_straight["params"], v_resumed["params"])
-
 
 def test_loader_skip_batches_matches_suffix(tmp_path):
     """skip_batches=k yields exactly the batches after the k-th of the same

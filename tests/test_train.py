@@ -340,46 +340,6 @@ def test_frozen_param_labels_do_not_change_training(tmp_path, capsys):
         )
 
 
-def test_steps_per_dispatch_is_bitwise_identical(tmp_path, capsys):
-    """Chained-scan dispatch (steps_per_dispatch=4) must reproduce per-step
-    dispatch exactly: same batches, same PRNG sequence, same params —
-    including a trailing sub-chunk (epoch length not divisible by K)."""
-    from multimodalbrainsurvival_tpu.data.tables import RNATableDataset
-    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
-    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
-    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, train_model
-
-    # 48 samples / batch 8 = 6 steps/epoch -> one scan of 4 + 2 per-step
-    csv = tmp_path / "spd.csv"
-    make_survival_csv(str(csv), [f"c{i}" for i in range(48)], n_rna=8, seed=9)
-    ds = RNATableDataset(str(csv))
-
-    def run(k):
-        adapter = TableAdapter(
-            model=RNAOnlyModel(
-                encoder=RNAEncoder(hidden_dims=(8, 4), dropout=0.5)
-            )
-        )
-        settings = TrainSettings(
-            num_epochs=2, batch_size=8, log_interval=3, seed=21,
-            eval_splits_during_training=(), steps_per_dispatch=k,
-        )
-        v, _, _ = train_model(adapter, {"train": ds, "val": ds},
-                              torch_adam(1e-3), settings)
-        return v["params"]
-
-    p1, p4 = run(1), run(4)
-    out = capsys.readouterr().out
-    # both runs logged (the chunked path crosses log_interval multiples too)
-    assert out.count("train | epoch 0") >= 2
-    for (ka, a), (kb, b) in zip(
-        jax.tree_util.tree_leaves_with_path(p1),
-        jax.tree_util.tree_leaves_with_path(p4),
-    ):
-        np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(ka)
-        )
-
 
 def test_events_weighting_tolerates_missing_vital_status(tmp_path, capsys):
     """running_loss_weight='events' on a task/CSV without vital_status must

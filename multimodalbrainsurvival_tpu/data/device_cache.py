@@ -103,6 +103,11 @@ class DeviceCachedPatchBags:
         from multimodalbrainsurvival_tpu.data.patches import _decode_bag
 
         rows = []
+        # one flat permutation array; self.ids[wsi] are contiguous VIEWS into
+        # it (shuffle() permutes them in place), so batch assembly can gather
+        # from _ids_flat with vectorized indexing
+        n_total = sum(e["n_images"] for e in base.data.values())
+        self._ids_flat = np.arange(n_total, dtype=np.int32)
         self.ids: dict[str, np.ndarray] = {}
         start = 0
         for wsi, entry in base.data.items():
@@ -128,24 +133,123 @@ class DeviceCachedPatchBags:
                 buf = np.zeros((n, base.img_size, base.img_size, 3), np.uint8)
                 _decode_bag(list(items_all), buf, base.img_size, base.use_native)
                 rows.append(buf)
-            self.ids[wsi] = np.arange(start, start + n, dtype=np.int32)
+            self.ids[wsi] = self._ids_flat[start : start + n]
             start += n
         flat = np.concatenate(rows, axis=0) if rows else np.zeros(
             (1, base.img_size, base.img_size, 3), np.uint8
         )
         self._cache = jax.device_put(flat)
-        # padded bag slots / padded sample rows keep index 0 — zero them via
-        # the mask so batches match the host loader's zero-filled padding
-        # exactly (train-mode BN statistics see every patch, masked or not)
-        self._gather = jax.jit(
-            lambda cache, idx, mask: cache[idx]
-            * mask[..., None, None, None].astype(cache.dtype)
+
+        # Precomputed per-item tables so ``batches()`` is a few numpy gathers
+        # instead of a Python loop over the batch (measured: that loop held
+        # in-loop training ~45% under the compiled step's rate on one core).
+        # Per-slide labels never change across epochs; only ``self.ids``
+        # (the in-slide permutation) does.
+        wsi_keys = list(base.data.keys())
+        slot_of = {w: i for i, w in enumerate(wsi_keys)}
+        self._wsi_names = [base.data[w]["WSI"] for w in wsi_keys]
+        self._case_names = [
+            str(base.data[w].get("case", base.data[w]["WSI"]))
+            for w in wsi_keys
+        ]
+        label_dicts = [base._labels(base.data[w]) for w in wsi_keys]
+        self._scalar_keys = [
+            k for k in (label_dicts[0] if label_dicts else {})
+            if k not in ("WSI", "case")
+        ]
+        self._scalars = {
+            k: np.asarray([d[k] for d in label_dicts])
+            for k in self._scalar_keys
+        }
+        if any("rna_data" in e for e in base.data.values()):
+            self._rna = np.asarray(
+                [np.asarray(base.data[w]["rna_data"], np.float32)
+                 for w in wsi_keys]
+            )
+        else:
+            self._rna = None
+        self._item_slot = np.asarray(
+            [slot_of[w] for w, _ in base.index], np.int32
+        )
+        self._item_off = np.asarray([off for _, off in base.index], np.int32)
+        self._item_len = np.minimum(
+            self.bag_size,
+            np.asarray(
+                [base.data[w]["n_images"] for w, _ in base.index], np.int32
+            ) - self._item_off,
+        )
+        self._wsi_base = np.asarray(
+            np.cumsum([0] + [base.data[w]["n_images"] for w in wsi_keys[:-1]]),
+            np.int64,
         )
 
+        # Device-resident copies of every per-item/per-slide table, so each
+        # step's batch is assembled ON DEVICE from a single (batch_size,)
+        # int32 `sel` upload — one small H2D + one dispatch per step. The
+        # earlier shape (host-built masks/scalars, one H2D per array) paid a
+        # tunnel round-trip per ARRAY per step; every array the train step
+        # consumes (pixels, masks, survival scalars, rna) now never exists on
+        # the host after wrap time. Padded bag slots / padded sample rows are
+        # zeroed via the masks so batches match the host loader's zero-filled
+        # padding exactly (train-mode BN statistics see every patch, masked
+        # or not); padded rows' scalar labels are zeroed by sample_mask.
+        self._dev_tables = {
+            "item_slot": jax.device_put(self._item_slot),
+            "item_off": jax.device_put(self._item_off),
+            "item_len": jax.device_put(self._item_len),
+            "wsi_base": jax.device_put(self._wsi_base.astype(np.int32)),
+            "scalars": {
+                k: jax.device_put(v) for k, v in self._scalars.items()
+            },
+            "rna": None if self._rna is None else jax.device_put(self._rna),
+        }
+        self._dev_ids = jax.device_put(self._ids_flat)
+        self._ids_dirty = False
+        n_rows = max(len(self._ids_flat), 1)
+
+        import jax.numpy as jnp
+
+        def _assemble(cache, ids_flat, tables, sel, b):
+            lane = jnp.arange(self.bag_size, dtype=jnp.int32)[None, :]
+            sample_mask = jnp.arange(sel.shape[0], dtype=jnp.int32) < b
+            slots = tables["item_slot"][sel]
+            valid = (lane < tables["item_len"][sel][:, None]) & sample_mask[
+                :, None
+            ]
+            gidx = jnp.clip(
+                tables["wsi_base"][slots][:, None]
+                + tables["item_off"][sel][:, None]
+                + lane,
+                0,
+                n_rows - 1,
+            )
+            idx = jnp.where(valid, ids_flat[gidx], 0)
+            out = {
+                "patch_bag": cache[idx]
+                * valid[..., None, None, None].astype(cache.dtype),
+                "bag_mask": valid,
+                "sample_mask": sample_mask,
+            }
+            for k, col in tables["scalars"].items():
+                out[k] = jnp.where(sample_mask, col[slots], 0)
+            if tables["rna"] is not None:
+                out["rna_data"] = (
+                    tables["rna"][slots] * sample_mask[:, None]
+                )
+            return out
+
+        self._assemble = jax.jit(_assemble)
+
     def shuffle(self):
-        """Per-epoch in-slide permutation (reference ``models.py:269-272``)."""
+        """Per-epoch in-slide permutation (reference ``models.py:269-272``).
+
+        ``self.ids[wsi]`` are views into ``_ids_flat``, so shuffling them
+        permutes the flat array; the device copy refreshes lazily (one
+        KB-scale upload per epoch, not per step).
+        """
         for wsi in self.ids:
             self._rng.shuffle(self.ids[wsi])
+        self._ids_dirty = True
 
     def __len__(self) -> int:
         return len(self.base.index)
@@ -159,49 +263,41 @@ class DeviceCachedPatchBags:
         skip_batches: int = 0,
         **_: object,  # loader kwargs (num_threads/prefetch) are host-only
     ) -> Iterator[dict]:
+        import jax
+
         base = self.base
         order = np.arange(len(base.index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if self._ids_dirty:
+            self._dev_ids = jax.device_put(self._ids_flat)
+            self._ids_dirty = False
 
         for s in range(skip_batches * batch_size, len(order), batch_size):
             sel = order[s : s + batch_size]
             b = len(sel)
-            idx = np.zeros((batch_size, self.bag_size), np.int32)
-            bag_mask = np.zeros((batch_size, self.bag_size), bool)
-            sample_mask = np.zeros((batch_size,), bool)
-            batch: dict = {
-                "bag_mask": bag_mask, "sample_mask": sample_mask,
-                "WSI": [""] * batch_size, "case": [""] * batch_size,
-            }
-            scalars: dict = {}
-            rna = None
-            for i, item_idx in enumerate(sel):
-                wsi, off = base.index[item_idx]
-                entry = base.data[wsi]
-                ids = self.ids[wsi][off : off + self.bag_size]
-                idx[i, : len(ids)] = ids
-                bag_mask[i, : len(ids)] = True
-                sample_mask[i] = True
-                labels = base._labels(entry)
-                batch["WSI"][i] = labels.pop("WSI")
-                batch["case"][i] = labels.pop("case")
-                for k, v in labels.items():
-                    if k not in scalars:
-                        scalars[k] = np.zeros(
-                            (batch_size,), np.asarray(v).dtype
-                        )
-                    scalars[k][i] = v
-                if "rna_data" in entry:
-                    if rna is None:
-                        rna = np.zeros(
-                            (batch_size, len(entry["rna_data"])), np.float32
-                        )
-                    rna[i] = entry["rna_data"]
-            batch.update(scalars)
-            if rna is not None:
-                batch["rna_data"] = rna
-            # the only per-step H2D is this int32 index array + mask (KBs);
-            # the gather runs on device against the resident cache
-            batch["patch_bag"] = self._gather(self._cache, idx, bag_mask)
+            slots = self._item_slot[sel]
+            sel_padded = np.zeros((batch_size,), np.int32)
+            sel_padded[:b] = sel
+            # ONE small H2D (`sel_padded`) + one dispatch; every array the
+            # train step consumes comes back as a device-resident output
+            batch: dict = self._assemble(
+                self._cache, self._dev_ids, self._dev_tables, sel_padded,
+                np.int32(b),
+            )
+            batch["WSI"] = [self._wsi_names[j] for j in slots] + [""] * (
+                batch_size - b
+            )
+            batch["case"] = [self._case_names[j] for j in slots] + [""] * (
+                batch_size - b
+            )
+            # host-side mirrors for consumers that must not sync on device
+            # values (the train loop's logged-loss weight, eval's id masking)
+            host_mask = np.zeros((batch_size,), bool)
+            host_mask[:b] = True
+            batch["host_sample_mask"] = host_mask
+            for k in self._scalar_keys:
+                col = np.zeros((batch_size,), self._scalars[k].dtype)
+                col[:b] = self._scalars[k][slots]
+                batch["host_" + k] = col
             yield batch

@@ -68,6 +68,7 @@ def attribute_trace(trace_dir: str, hlo: str) -> dict[str, float]:
         elif e.get("name") == "thread_name":
             tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_sig: dict[str, float] = defaultdict(float)
+    found_ops_line = False
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
@@ -80,9 +81,15 @@ def attribute_trace(trace_dir: str, hlo: str) -> dict[str, float]:
         # train-step attribution by ~45% until caught.)
         if tid_names.get((e["pid"], e["tid"])) != "XLA Ops":
             continue
+        found_ops_line = True
         name = e.get("name", "")
         sig = sig_of.get(name.split(".(")[0]) or sig_of.get(name)
         by_sig[sig or f"[{name.split('.')[0]}]"] += e.get("dur", 0) / 1e3
+    if not found_ops_line:
+        raise RuntimeError(
+            "trace has no 'XLA Ops' device thread line — profiler format "
+            "changed? Refusing to return a silently-empty attribution."
+        )
     return dict(by_sig)
 
 

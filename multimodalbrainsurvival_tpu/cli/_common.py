@@ -38,6 +38,12 @@ def load_config(args) -> tuple[Config, str, str, str]:
     """Returns (config, flag, checkpoint_path, summary_path) with the
     reference's config-over-args override semantics."""
     config = Config.from_json(args.config)
+    unknown = config.unknown_keys()
+    if unknown:
+        # audit, not an error: reference configs must keep loading verbatim,
+        # but typo'd or since-removed keys (e.g. steps_per_dispatch) should
+        # never be silently ignored
+        print(f"config: ignoring unrecognized keys: {', '.join(unknown)}")
     np.random.seed(args.seed)
     flag = config.get("flag", "") or "train_{date:%Y-%m-%d_%H:%M:%S}".format(
         date=datetime.datetime.now()

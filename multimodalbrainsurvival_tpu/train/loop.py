@@ -246,7 +246,10 @@ def evaluate(
             | {settings.target_label, "survival_months", "vital_status"}
         ):
             if k in batch:
-                labels.setdefault(k, []).extend(np.asarray(batch[k])[mask].tolist())
+                # prefer the loader's host_* numpy mirror (device-cached
+                # datasets) over fetching the device-resident column
+                col = batch.get("host_" + k, batch[k])
+                labels.setdefault(k, []).extend(np.asarray(col)[mask].tolist())
 
     outputs = np.concatenate(outputs, axis=0)
     # parity: unweighted mean over batch losses, exactly like the reference's

@@ -373,3 +373,66 @@ def test_events_weighting_tolerates_missing_vital_status(tmp_path, capsys):
     )
     train_model(adapter, {"train": ds, "val": ds}, torch_adam(1e-3), settings)
     assert "train | epoch 0" in capsys.readouterr().out
+
+
+def test_unknown_config_keys_are_reported(tmp_path, capsys):
+    """Typo'd / since-removed config keys (e.g. steps_per_dispatch) must be
+    announced by load_config, never silently ignored; known keys stay
+    silent (reference configs load verbatim — tests/test_exampledata.py)."""
+    import argparse
+    import json
+
+    from multimodalbrainsurvival_tpu.cli._common import load_config
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "flag": "x", "checkpoint_path": str(tmp_path),
+        "steps_per_dispatch": 8, "something_mistyped": 1,
+    }))
+    args = argparse.Namespace(config=str(cfg), seed=0)
+    load_config(args)
+    out = capsys.readouterr().out
+    assert "steps_per_dispatch" in out and "something_mistyped" in out
+
+    cfg.write_text(json.dumps({"flag": "x", "checkpoint_path": str(tmp_path)}))
+    load_config(args)
+    assert "ignoring" not in capsys.readouterr().out
+
+
+def test_adapter_init_is_jitted_and_matches_eager_structure():
+    """adapters.init runs under jit (one compiled program — DESIGN item 15);
+    the variable tree must match an eager init's structure with values equal
+    to float tolerance (fusion may differ at ulp level)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.models import (
+        AggregationModel, make_aggregator, resnet18,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+
+    adapter = MILAdapter(model=AggregationModel(
+        resnet=resnet18(), aggregator=make_aggregator("identity", dim=512),
+        aggregator_dim=512,
+    ))
+    arrays = {
+        "patch_bag": jnp.zeros((2, 2, 32, 32, 3), jnp.uint8),
+        "bag_mask": jnp.ones((2, 2), bool),
+        "sample_mask": jnp.ones((2,), bool),
+    }
+    v_jit = adapter.init(jax.random.PRNGKey(0), arrays)
+
+    x = adapter._preprocess(arrays, False, None)
+    v_eager = adapter.model.init(
+        jax.random.PRNGKey(0), *adapter._model_inputs(x, arrays),
+        mask=arrays["bag_mask"], train=False,
+    )
+    assert jax.tree.structure(v_jit) == jax.tree.structure(v_eager)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(v_jit),
+        jax.tree_util.tree_leaves_with_path(v_eager),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(ka),
+        )

@@ -266,3 +266,38 @@ def test_resume_from_pre_rng_checkpoint(tmp_path):
         )
     out = buf.getvalue()
     assert "Resumed full train state" in out and "Epoch 1/1" in out
+
+
+def test_metric_writer_jsonl_stream(tmp_path):
+    """MetricWriter (utils/logging.py): durable JSONL regardless of
+    TensorBoard availability; scalar/text/close lifecycle; appends across
+    reopens (resume keeps one continuous stream)."""
+    import json
+
+    from multimodalbrainsurvival_tpu.utils.logging import MetricWriter
+
+    d = str(tmp_path / "logs")
+    w = MetricWriter(log_dir=d)
+    w.scalar("train/loss", 1.5, step=1)
+    w.text("config", {"lr": 1e-3})
+    w.close()
+    w = MetricWriter(log_dir=d)  # resume appends, not truncates
+    w.scalar("train/loss", 1.25, step=2)
+    w.close()
+
+    path = tmp_path / "logs" / "metrics.jsonl"
+    events = [json.loads(line) for line in path.read_text().splitlines()]
+    assert [e.get("tag") for e in events] == [
+        "train/loss", "config", "train/loss"
+    ]
+    assert events[0]["value"] == 1.5 and events[0]["step"] == 1
+    assert "lr" in events[1]["text"]
+    assert events[2]["value"] == 1.25 and events[2]["step"] == 2
+    assert all("ts" in e for e in events)
+
+    # jsonl_path-only construction (no TB dir)
+    alt = str(tmp_path / "alt.jsonl")
+    w = MetricWriter(jsonl_path=alt)
+    w.scalar("x", 0.0, step=0)
+    w.close()
+    assert json.loads(open(alt).read())["tag"] == "x"

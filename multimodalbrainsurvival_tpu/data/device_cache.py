@@ -138,7 +138,25 @@ class DeviceCachedPatchBags:
         flat = np.concatenate(rows, axis=0) if rows else np.zeros(
             (1, base.img_size, base.img_size, 3), np.uint8
         )
-        self._cache = jax.device_put(flat)
+        # Stored 3-D (rows, row_len/128, 128): the gather's cost is purely a
+        # layout question. As a 4-D (N,H,W,3) table XLA relayouts the ENTIRE
+        # cohort inside the gather program (3.0 ms/step whole-cache u8 copy);
+        # as 2-D flat rows the tiled layout forces a slow data-movement
+        # fusion (1.9 ms/step, ~20 GB/s); with each row a tile-aligned
+        # (k, 128) plane the same gather runs at 641 GB/s = 0.06 ms — near
+        # the HBM roofline (measured; docs/DESIGN.md item 15; a pallas DMA
+        # row-gather kernel was built and measured 15% SLOWER, so XLA keeps
+        # the job). Rows are zero-padded up to a 128 multiple and the pad is
+        # sliced off after the per-batch gather.
+        n = flat.shape[0]
+        row = int(np.prod(flat.shape[1:]))
+        self._row_pad = (-row) % 128
+        flat = flat.reshape(n, row)
+        if self._row_pad:
+            flat = np.pad(flat, ((0, 0), (0, self._row_pad)))
+        self._cache = jax.device_put(
+            flat.reshape(n, (row + self._row_pad) // 128, 128)
+        )
 
         # Precomputed per-item tables so ``batches()`` is a few numpy gathers
         # instead of a Python loop over the batch (measured: that loop held
@@ -224,9 +242,13 @@ class DeviceCachedPatchBags:
                 n_rows - 1,
             )
             idx = jnp.where(valid, ids_flat[gidx], 0)
+            bag = cache[idx] * valid[..., None, None].astype(cache.dtype)
+            row = self.img_size * self.img_size * 3
+            bag = bag.reshape(idx.shape + (-1,))[..., :row]
             out = {
-                "patch_bag": cache[idx]
-                * valid[..., None, None, None].astype(cache.dtype),
+                "patch_bag": bag.reshape(
+                    idx.shape + (self.img_size, self.img_size, 3)
+                ),
                 "bag_mask": valid,
                 "sample_mask": sample_mask,
             }

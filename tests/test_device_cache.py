@@ -211,3 +211,22 @@ def test_maybe_cache_datasets_shared_budget(cohort, capsys):
     assert none["train"] is datasets["train"]
 
     assert maybe_cache_datasets(dict(datasets), False) == datasets
+
+
+def test_cached_batches_match_base_unaligned_row(tmp_path):
+    """img sizes whose H*W*3 is not a 128 multiple exercise the cache's
+    row zero-padding (3-D tile-aligned storage — device_cache.__init__);
+    batches must stay byte-identical to the host loader."""
+    root = tmp_path / "p10"
+    for i, w in enumerate(["A", "B"]):
+        make_patch_dir(str(root), w, 5, img_size=10, seed=i)
+    csv = tmp_path / "c10.csv"
+    make_survival_csv(str(csv), ["c1", "c2"], wsi_names=["A.svs", "B.svs"])
+    base = PatchBagDataset(str(root), str(csv), img_size=10, bag_size=2,
+                           max_patches_total=5)
+    assert (10 * 10 * 3) % 128 != 0
+    cached = DeviceCachedPatchBags(base)
+    for g, w in zip(_collect(cached, 3), _collect(base, 3, num_threads=1)):
+        np.testing.assert_array_equal(np.asarray(g["patch_bag"]),
+                                      w["patch_bag"])
+        np.testing.assert_array_equal(np.asarray(g["bag_mask"]), w["bag_mask"])

@@ -226,7 +226,14 @@ def evaluate(
         cache[cache_key] = eval_step
     eval_step = cache[cache_key]
 
-    outputs, losses, ids = [], [], {k: [] for k in adapter.id_keys}
+    # Device values (per-batch out/loss) are fetched ONCE after the loop:
+    # a per-batch float(loss)/np.asarray(out) would block the next batch's
+    # dispatch on a device round-trip, serializing eval at host-device
+    # latency instead of pipelining it (the train loop defers its losses
+    # for the same reason). Host-side metadata (masks via the loaders'
+    # host_* mirrors, ids, label columns) is collected inline.
+    outputs, losses, masks = [], [], []
+    ids: dict[str, list] = {k: [] for k in adapter.id_keys}
     labels: dict[str, list] = {}
     for batch in dataset.batches(
         settings.batch_size, shuffle=False, **adapter.loader_kwargs,
@@ -234,11 +241,12 @@ def evaluate(
     ):
         arrays = _device_arrays(batch, all_keys, settings.device_put_fn)
         out, loss = eval_step(variables, arrays)
-        losses.append(float(loss))
+        losses.append(loss)
         mask = np.asarray(
             batch.get("host_sample_mask", batch[adapter.sample_mask_key])
         )
-        outputs.append(np.asarray(out)[mask])
+        masks.append(mask)
+        outputs.append(out)
         for k, v in _collect_ids(batch, mask, adapter.id_keys).items():
             ids[k].extend(v)
         for k in (
@@ -251,12 +259,18 @@ def evaluate(
                 col = batch.get("host_" + k, batch[k])
                 labels.setdefault(k, []).extend(np.asarray(col)[mask].tolist())
 
-    outputs = np.concatenate(outputs, axis=0)
+    losses = np.asarray(jnp.stack(losses)) if losses else np.zeros((0,))
+    outputs = (
+        np.asarray(jnp.concatenate(outputs, axis=0))
+        if outputs
+        else np.zeros((0, 1))
+    )
+    outputs = outputs[np.concatenate(masks)] if masks else outputs
     # parity: unweighted mean over batch losses, exactly like the reference's
     # evaluate (2_HistoPath_train.py:148, `np.mean(loss_list)`) — the final
     # partial batch is overweighted there too (ours is padded+masked, which
     # yields the identical per-batch loss as torch's ragged final batch)
-    val_loss = float(np.mean(losses))
+    val_loss = float(np.mean(losses)) if len(losses) else float("nan")
     months = np.array(labels.get("survival_months", []))
     status = np.array(labels.get("vital_status", []))
 

@@ -102,13 +102,27 @@ class DeviceCachedPatchBags:
         # slide corresponds to position i of that list at wrap time
         from multimodalbrainsurvival_tpu.data.patches import _decode_bag
 
-        rows = []
         # one flat permutation array; self.ids[wsi] are contiguous VIEWS into
         # it (shuffle() permutes them in place), so batch assembly can gather
         # from _ids_flat with vectorized indexing
         n_total = sum(e["n_images"] for e in base.data.values())
         self._ids_flat = np.arange(n_total, dtype=np.int32)
         self.ids: dict[str, np.ndarray] = {}
+        # Cache stored 3-D (rows, row_len/128, 128): the gather's cost is
+        # purely a layout question. As a 4-D (N,H,W,3) table XLA relayouts
+        # the ENTIRE cohort inside the gather program (3.0 ms/step
+        # whole-cache u8 copy); as 2-D flat rows the tiled layout forces a
+        # slow data-movement fusion (1.9 ms/step, ~20 GB/s); with each row a
+        # tile-aligned (k, 128) plane the same gather runs at 641 GB/s =
+        # 0.06 ms — near the HBM roofline (measured; docs/DESIGN.md item 15;
+        # a pallas DMA row-gather kernel was built and measured 15% SLOWER,
+        # so XLA keeps the job). Rows zero-pad up to a 128 multiple (pad
+        # sliced off after the per-batch gather); slides decode straight
+        # into the one padded host buffer so peak host memory is the cohort
+        # plus a single slide, not 2-3 cohort copies.
+        row = base.img_size * base.img_size * 3
+        self._row_pad = (-row) % 128
+        flat = np.zeros((max(n_total, 1), row + self._row_pad), np.uint8)
         start = 0
         for wsi, entry in base.data.items():
             n = entry["n_images"]
@@ -128,34 +142,15 @@ class DeviceCachedPatchBags:
                             interpolation=cv2.INTER_LINEAR,
                         )
                     got = resized
-                rows.append(got)
             else:
-                buf = np.zeros((n, base.img_size, base.img_size, 3), np.uint8)
-                _decode_bag(list(items_all), buf, base.img_size, base.use_native)
-                rows.append(buf)
+                got = np.zeros((n, base.img_size, base.img_size, 3), np.uint8)
+                _decode_bag(list(items_all), got, base.img_size, base.use_native)
+            flat[start : start + n, :row] = got.reshape(n, -1)
+            del got
             self.ids[wsi] = self._ids_flat[start : start + n]
             start += n
-        flat = np.concatenate(rows, axis=0) if rows else np.zeros(
-            (1, base.img_size, base.img_size, 3), np.uint8
-        )
-        # Stored 3-D (rows, row_len/128, 128): the gather's cost is purely a
-        # layout question. As a 4-D (N,H,W,3) table XLA relayouts the ENTIRE
-        # cohort inside the gather program (3.0 ms/step whole-cache u8 copy);
-        # as 2-D flat rows the tiled layout forces a slow data-movement
-        # fusion (1.9 ms/step, ~20 GB/s); with each row a tile-aligned
-        # (k, 128) plane the same gather runs at 641 GB/s = 0.06 ms — near
-        # the HBM roofline (measured; docs/DESIGN.md item 15; a pallas DMA
-        # row-gather kernel was built and measured 15% SLOWER, so XLA keeps
-        # the job). Rows are zero-padded up to a 128 multiple and the pad is
-        # sliced off after the per-batch gather.
-        n = flat.shape[0]
-        row = int(np.prod(flat.shape[1:]))
-        self._row_pad = (-row) % 128
-        flat = flat.reshape(n, row)
-        if self._row_pad:
-            flat = np.pad(flat, ((0, 0), (0, self._row_pad)))
         self._cache = jax.device_put(
-            flat.reshape(n, (row + self._row_pad) // 128, 128)
+            flat.reshape(flat.shape[0], (row + self._row_pad) // 128, 128)
         )
 
         # Precomputed per-item tables so ``batches()`` is a few numpy gathers

@@ -259,18 +259,18 @@ def evaluate(
                 col = batch.get("host_" + k, batch[k])
                 labels.setdefault(k, []).extend(np.asarray(col)[mask].tolist())
 
-    losses = np.asarray(jnp.stack(losses)) if losses else np.zeros((0,))
-    outputs = (
-        np.asarray(jnp.concatenate(outputs, axis=0))
-        if outputs
-        else np.zeros((0, 1))
-    )
-    outputs = outputs[np.concatenate(masks)] if masks else outputs
+    if not losses:
+        # no batches at all (empty split) — nothing to score
+        print(f"{split}  | epoch {epoch} | empty split, no evaluation")
+        return float("nan"), None, {"loss": float("nan")}
+    losses = np.asarray(jnp.stack(losses))
+    outputs = np.asarray(jnp.concatenate(outputs, axis=0))
+    outputs = outputs[np.concatenate(masks)]
     # parity: unweighted mean over batch losses, exactly like the reference's
     # evaluate (2_HistoPath_train.py:148, `np.mean(loss_list)`) — the final
     # partial batch is overweighted there too (ours is padded+masked, which
     # yields the identical per-batch loss as torch's ragged final batch)
-    val_loss = float(np.mean(losses)) if len(losses) else float("nan")
+    val_loss = float(np.mean(losses))
     months = np.array(labels.get("survival_months", []))
     status = np.array(labels.get("vital_status", []))
 

@@ -436,3 +436,45 @@ def test_adapter_init_is_jitted_and_matches_eager_structure():
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+def test_evaluate_empty_split_returns_nan(tmp_path, capsys):
+    """evaluate() on a dataset that yields zero batches must return cleanly
+    (nan loss, no metrics) for every task instead of crashing."""
+    import jax
+
+    from multimodalbrainsurvival_tpu.data.tables import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, evaluate
+
+    csv = tmp_path / "one.csv"
+    make_survival_csv(str(csv), ["c0"], n_rna=4, seed=0)
+    ds = RNATableDataset(str(csv))
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def batches(self, *a, **kw):
+            return iter(())
+
+    adapter = TableAdapter(
+        model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4, 2), dropout=0.0))
+    )
+    probe = next(ds.batches(1))
+    variables = adapter.init(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    for task, extra in [
+        ("survival_prediction", {}),
+        ("classification", {"num_classes": 2, "target_label": "label"}),
+    ]:
+        settings = TrainSettings(task=task, batch_size=2, **extra)
+        loss, frame, metrics = evaluate(
+            adapter, variables, Empty(), settings, split="val", epoch=0
+        )
+        assert np.isnan(loss) and frame is None
+        assert np.isnan(metrics["loss"])
+    assert "empty split" in capsys.readouterr().out

@@ -169,10 +169,15 @@ def _device_arrays(batch: dict, keys: tuple, device_put_fn=None) -> dict:
 
 
 def _drain_losses(pending, running_loss, seen, settings, epoch):
-    """Fetch deferred device losses (one sync for the whole backlog) and run
-    the NaN guard (the reference drops into pdb — models.py:107-109)."""
-    for loss, bsz, at_step in pending:
-        value = float(loss)
+    """Fetch deferred device losses (ONE sync for the whole backlog — a
+    per-entry float() was a separate device round-trip each, which cost
+    several ms/step amortized on a remote-attached chip) and run the NaN
+    guard (the reference drops into pdb — models.py:107-109)."""
+    if not pending:
+        return running_loss, seen
+    values = np.asarray(jnp.stack([loss for loss, _, _ in pending]))
+    for value, (_, bsz, at_step) in zip(values, pending):
+        value = float(value)
         if settings.check_numerics and not np.isfinite(value):
             raise FloatingPointError(
                 f"non-finite loss {value} at epoch {epoch} step {at_step} "

@@ -44,6 +44,16 @@ def load_config(args) -> tuple[Config, str, str, str]:
         # but typo'd or since-removed keys (e.g. steps_per_dispatch) should
         # never be silently ignored
         print(f"config: ignoring unrecognized keys: {', '.join(unknown)}")
+    cache_dir = config.get("compile_cache_dir", "")
+    if cache_dir:
+        # persistent XLA compile cache: repeat runs of the same config skip
+        # compilation entirely (first ResNet-50 train-step compile costs
+        # minutes on a remote compile server; a cache hit is ~ms). Opt-in —
+        # numbers are unaffected, only compile time.
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     np.random.seed(args.seed)
     flag = config.get("flag", "") or "train_{date:%Y-%m-%d_%H:%M:%S}".format(
         date=datetime.datetime.now()

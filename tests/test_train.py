@@ -478,3 +478,28 @@ def test_evaluate_empty_split_returns_nan(tmp_path, capsys):
         assert np.isnan(loss) and frame is None
         assert np.isnan(metrics["loss"])
     assert "empty split" in capsys.readouterr().out
+
+
+def test_compile_cache_dir_config_key(tmp_path):
+    """compile_cache_dir points jax's persistent compile cache at the given
+    directory (created if missing); absent key leaves the config untouched."""
+    import argparse
+    import json
+
+    import jax
+
+    from multimodalbrainsurvival_tpu.cli._common import load_config
+
+    d = tmp_path / "xla_cache"
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "flag": "x", "checkpoint_path": str(tmp_path),
+        "compile_cache_dir": str(d),
+    }))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        load_config(argparse.Namespace(config=str(cfg), seed=0))
+        assert jax.config.jax_compilation_cache_dir == str(d)
+        assert d.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

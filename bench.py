@@ -40,11 +40,10 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 def measure_tpu_patches_per_sec(batch_sizes=(128, 256), iters=20) -> float:
     import jax
 
+    from multimodalbrainsurvival_tpu.cli._common import enable_compile_cache
+
     # persistent compile cache: repeat bench runs skip the 1-2 min XLA compile
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    enable_compile_cache(os.path.join(REPO, ".jax_cache"))
     import jax.numpy as jnp
 
     from multimodalbrainsurvival_tpu.models import resnet50

@@ -34,6 +34,21 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def enable_compile_cache(cache_dir: str) -> None:
+    """Persistent XLA compile cache: repeat runs of the same config skip
+    compilation entirely (the first ResNet-50 train-step compile costs
+    minutes on a remote compile server; a cache hit is ~ms). Numbers are
+    unaffected — only compile time. Programs under 5 s compile are not
+    cached (they recompile faster than the disk round-trip is worth).
+    ONE policy shared by the CLIs (``compile_cache_dir`` config key) and
+    ``bench.py``."""
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 def load_config(args) -> tuple[Config, str, str, str]:
     """Returns (config, flag, checkpoint_path, summary_path) with the
     reference's config-over-args override semantics."""
@@ -46,14 +61,7 @@ def load_config(args) -> tuple[Config, str, str, str]:
         print(f"config: ignoring unrecognized keys: {', '.join(unknown)}")
     cache_dir = config.get("compile_cache_dir", "")
     if cache_dir:
-        # persistent XLA compile cache: repeat runs of the same config skip
-        # compilation entirely (first ResNet-50 train-step compile costs
-        # minutes on a remote compile server; a cache hit is ~ms). Opt-in —
-        # numbers are unaffected, only compile time.
-        import jax
-
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        enable_compile_cache(cache_dir)
     np.random.seed(args.seed)
     flag = config.get("flag", "") or "train_{date:%Y-%m-%d_%H:%M:%S}".format(
         date=datetime.datetime.now()

@@ -501,5 +501,13 @@ def test_compile_cache_dir_config_key(tmp_path):
         load_config(argparse.Namespace(config=str(cfg), seed=0))
         assert jax.config.jax_compilation_cache_dir == str(d)
         assert d.is_dir()
+
+        # absent key: config value untouched
+        jax.config.update("jax_compilation_cache_dir", prev)
+        cfg.write_text(json.dumps({
+            "flag": "x", "checkpoint_path": str(tmp_path),
+        }))
+        load_config(argparse.Namespace(config=str(cfg), seed=0))
+        assert jax.config.jax_compilation_cache_dir == prev
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)

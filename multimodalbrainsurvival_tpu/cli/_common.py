@@ -110,18 +110,28 @@ def maybe_restore(variables, config: Config, ckpt, keys=("restore_path", "model_
     return variables
 
 
+#: Exit status of a preempted CLI run (128 + SIGTERM, the shell convention).
+#: Schedulers / retry wrappers keyed on exit codes must NOT see 0 for an
+#: incomplete run — they would treat it as done and never rerun it.
+PREEMPTED_EXIT_CODE = 143
+
+
 def run_train(train_model_fn, *args, **kwargs):
-    """Run ``train_model``, converting a preemption (SIGTERM) into a clean
-    exit: the emergency full-state checkpoint is already committed by the
-    loop, so rerunning the same command with ``resume: true`` continues the
-    run exactly where it stopped (train/loop.py)."""
+    """Run ``train_model``, converting a preemption (SIGTERM) into an orderly
+    exit with status :data:`PREEMPTED_EXIT_CODE`: the emergency full-state
+    checkpoint is already committed by the loop, so rerunning the same command
+    with ``resume: true`` continues the run exactly where it stopped
+    (train/loop.py). The non-zero status tells schedulers the run is
+    incomplete."""
     from multimodalbrainsurvival_tpu.train import TrainingPreempted
 
     try:
         return train_model_fn(*args, **kwargs)
     except TrainingPreempted as e:
-        print(f"exiting cleanly after preemption: {e}")
-        return None
+        print(
+            f"exiting after preemption (status {PREEMPTED_EXIT_CODE}): {e}"
+        )
+        raise SystemExit(PREEMPTED_EXIT_CODE)
 
 
 def make_device_put(config: Config):
@@ -140,6 +150,7 @@ def make_device_put(config: Config):
     print(f"training over mesh {dict(mesh.shape)}")
     put = batch_device_put(mesh, shard_bag=shard_bag)
     put.mesh = mesh  # callers that must co-locate params (serving) need it
+    put.shard_bag = shard_bag  # the mesh-sharded cache mirrors this layout
     return put
 
 

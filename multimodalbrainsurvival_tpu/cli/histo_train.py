@@ -85,7 +85,7 @@ def load_pretrained(variables, config):
     return variables
 
 
-def build_datasets(config, quick: bool):
+def build_datasets(config, quick: bool, device_put_fn=None):
     max_train = config.get("max_patch_per_wsi_train", 1000)
     max_val = config.get("max_patch_per_wsi_val", 1000)
     if quick:
@@ -117,11 +117,15 @@ def build_datasets(config, quick: bool):
     }
     # cache_patches_on_device: decode once, hold all patches in HBM, feed
     # steps by int32 index gather — removes the per-step H2D of pixel data
-    # (docs/DESIGN.md item 11); content-identical batches (tested)
+    # (docs/DESIGN.md item 11); content-identical batches (tested). Under a
+    # `mesh` config the cache rows are block-sharded over every device, so
+    # the budget is n_devices x per-chip HBM and batches land pre-sharded.
     from multimodalbrainsurvival_tpu.data.device_cache import maybe_cache_datasets
 
     return maybe_cache_datasets(
-        datasets, bool(config.get("cache_patches_on_device", False))
+        datasets, bool(config.get("cache_patches_on_device", False)),
+        mesh=getattr(device_put_fn, "mesh", None),
+        shard_bag=getattr(device_put_fn, "shard_bag", False),
     )
 
 
@@ -130,7 +134,8 @@ def main(argv=None):
     config, flag, checkpoint_path, summary_path = load_config(args)
     save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
 
-    datasets = build_datasets(config, bool(args.quick))
+    device_put_fn = make_device_put(config)
+    datasets = build_datasets(config, bool(args.quick), device_put_fn)
     print("loaded datasets")
 
     model = build_mil_model(config)
@@ -151,7 +156,10 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
-        device_put_fn=make_device_put(config),
+        device_put_fn=device_put_fn,
+        # histo-only reference quirk: no best checkpoint at epoch 0
+        # (2_HistoPath_train.py:378 `and epoch > 0`)
+        best_from_epoch=1,
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

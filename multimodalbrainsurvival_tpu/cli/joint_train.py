@@ -64,7 +64,7 @@ def build_joint_optimizer(params, config):
     return build_grouped_optimizer(params, groups)
 
 
-def build_joint_datasets(config, quick: bool):
+def build_joint_datasets(config, quick: bool, device_put_fn=None):
     max_train = config.get("max_patch_per_wsi_train", 1000)
     max_val = config.get("max_patch_per_wsi_val", 1000)
     if quick:
@@ -93,11 +93,15 @@ def build_joint_datasets(config, quick: bool):
     }
     # cache_patches_on_device: decode once, hold all patches in HBM, feed
     # steps by int32 index gather — removes the per-step H2D of pixel data
-    # (docs/DESIGN.md item 11); content-identical batches (tested)
+    # (docs/DESIGN.md item 11); content-identical batches (tested). Under a
+    # `mesh` config the cache rows are block-sharded over every device, so
+    # the budget is n_devices x per-chip HBM and batches land pre-sharded.
     from multimodalbrainsurvival_tpu.data.device_cache import maybe_cache_datasets
 
     return maybe_cache_datasets(
-        datasets, bool(config.get("cache_patches_on_device", False))
+        datasets, bool(config.get("cache_patches_on_device", False)),
+        mesh=getattr(device_put_fn, "mesh", None),
+        shard_bag=getattr(device_put_fn, "shard_bag", False),
     )
 
 
@@ -106,7 +110,8 @@ def main(argv=None):
     config, flag, checkpoint_path, summary_path = load_config(args)
     save_dir, output_dir = experiment_dirs(checkpoint_path, flag)
 
-    datasets = build_joint_datasets(config, bool(args.quick))
+    device_put_fn = make_device_put(config)
+    datasets = build_joint_datasets(config, bool(args.quick), device_put_fn)
     print("loaded datasets")
 
     model = build_joint_model(config)
@@ -126,7 +131,7 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
-        device_put_fn=make_device_put(config),
+        device_put_fn=device_put_fn,
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

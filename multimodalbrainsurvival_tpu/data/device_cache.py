@@ -23,6 +23,18 @@ dataset's own index, so batches are content-identical to the base loader
 Opt-in via ``cache_patches_on_device: true`` in the histo/joint train
 configs. Falls back to the base dataset (with a warning) when the cohort
 exceeds ``max_bytes``.
+
+Mesh-sharded mode (pass ``mesh=``): the cache rows are BLOCK-SHARDED over
+every device of the mesh — the HBM budget becomes n_devices × per-chip —
+and batch assembly runs as a ``shard_map``: each device gathers the rows it
+owns, the partial bags are combined by ``psum``/``psum_scatter`` over ICI,
+and the batch lands already dp-sharded on its sample axis (bag mp-sharded
+too under ``shard_bag``), exactly the shardings the sharded train step
+consumes. Per-step traffic is ONE int32 ``sel`` upload; pixel bytes move
+only over ICI. At the reference's real tiling scale
+(``1_WSI2Patches.py:157-159``, 2000-4000 patches/slide → ~220 GB for the
+783-WSI cohort) a single chip's HBM cannot hold the cohort, a v5e-8's
+8×16 GB can hold ~2/3 of it (and a 2-slide mesh all of it).
 """
 
 from __future__ import annotations
@@ -37,65 +49,86 @@ def cache_bytes(base) -> int:
     return n * base.img_size * base.img_size * 3
 
 
-def cache_fits(base, max_bytes: int) -> bool:
-    return cache_bytes(base) <= max_bytes
+def _n_shards(mesh) -> int:
+    return 1 if mesh is None else int(mesh.devices.size)
 
 
-def maybe_cache_on_device(base, enabled: bool, *, max_bytes: int = 12 << 30):
-    """Config-driven constructor: wrap ``base`` when enabled and it fits."""
+def cache_fits(base, max_bytes: int, mesh=None) -> bool:
+    return cache_bytes(base) <= max_bytes * _n_shards(mesh)
+
+
+def maybe_cache_on_device(base, enabled: bool, *, max_bytes: int = 12 << 30,
+                          mesh=None, shard_bag: bool = False):
+    """Config-driven constructor: wrap ``base`` when enabled and it fits.
+
+    ``max_bytes`` is the PER-DEVICE budget; with a mesh the cohort may span
+    ``n_devices × max_bytes`` (rows block-sharded across all devices).
+    """
     if not enabled:
         return base
-    if not cache_fits(base, max_bytes):
+    if not cache_fits(base, max_bytes, mesh):
         total = sum(e["n_images"] for e in base.data.values())
         print(
             f"cache_patches_on_device: cohort too large for HBM cache "
-            f"({total} patches x {base.img_size}^2x3 > {max_bytes} bytes); "
+            f"({total} patches x {base.img_size}^2x3 > "
+            f"{_n_shards(mesh)} device(s) x {max_bytes} bytes); "
             f"falling back to the host loader"
         )
         return base
-    return DeviceCachedPatchBags(base)
+    return DeviceCachedPatchBags(base, mesh=mesh, shard_bag=shard_bag)
 
 
 def maybe_cache_datasets(datasets: dict, enabled: bool,
-                         *, max_bytes: int = 12 << 30) -> dict:
+                         *, max_bytes: int = 12 << 30,
+                         mesh=None, shard_bag: bool = False) -> dict:
     """Wrap a {split: dataset} dict with ONE shared HBM budget.
 
-    All splits share the chip's memory, so the fit check must be on the
+    All splits share the device memory, so the fit check must be on the
     aggregate, not per split. If everything fits, every split is cached
     (eval ships pixels once per epoch too); if only the train split fits,
     cache just that (it dominates per-epoch traffic); otherwise fall back
-    to the host loader entirely, with a message either way.
+    to the host loader entirely, with a message either way. ``max_bytes``
+    is per device; a mesh multiplies the budget by its device count.
     """
     if not enabled:
         return datasets
+
+    def wrap(ds):
+        return DeviceCachedPatchBags(ds, mesh=mesh, shard_bag=shard_bag)
+
+    budget = max_bytes * _n_shards(mesh)
     total = sum(cache_bytes(ds) for ds in datasets.values())
-    if total <= max_bytes:
-        return {k: DeviceCachedPatchBags(v) for k, v in datasets.items()}
+    if total <= budget:
+        return {k: wrap(v) for k, v in datasets.items()}
     train = datasets.get("train")
-    if train is not None and cache_fits(train, max_bytes):
+    if train is not None and cache_fits(train, max_bytes, mesh):
         print(
             "cache_patches_on_device: all splits together exceed the HBM "
-            f"budget ({total} > {max_bytes} bytes); caching only 'train'"
+            f"budget ({total} > {budget} bytes); caching only 'train'"
         )
-        return {
-            k: DeviceCachedPatchBags(v) if k == "train" else v
-            for k, v in datasets.items()
-        }
+        return {k: wrap(v) if k == "train" else v for k, v in datasets.items()}
     print(
         f"cache_patches_on_device: cohort too large for HBM cache "
-        f"({total} > {max_bytes} bytes); falling back to the host loader"
+        f"({total} > {budget} bytes); falling back to the host loader"
     )
     return datasets
 
 
 class DeviceCachedPatchBags:
-    def __init__(self, base):
+    def __init__(self, base, mesh=None, *, shard_bag: bool = False):
         import jax
 
         self.base = base
         self.bag_size = base.bag_size
         self.img_size = base.img_size
+        self.mesh = mesh
+        self.shard_bag = bool(shard_bag and mesh is not None)
         self._rng = np.random.default_rng(0)
+        if self.shard_bag and base.bag_size % mesh.shape.get("mp", 1):
+            raise ValueError(
+                f"shard_bag cache needs bag_size ({base.bag_size}) divisible "
+                f"by the mesh's mp axis ({mesh.shape.get('mp', 1)})"
+            )
 
         # decode every (capped) patch ONCE, through the base's own decode
         # paths, in each slide's current patch-list order; flat row i of a
@@ -122,7 +155,13 @@ class DeviceCachedPatchBags:
         # plus a single slide, not 2-3 cohort copies.
         row = base.img_size * base.img_size * 3
         self._row_pad = (-row) % 128
-        flat = np.zeros((max(n_total, 1), row + self._row_pad), np.uint8)
+        # mesh mode: rows are BLOCK-SHARDED over every device of the mesh
+        # (row count padded up to a multiple of the device count), so the
+        # aggregate HBM budget is n_devices x per-chip; device d of the
+        # row-major (dp, mp) grid owns rows [d*rows_local, (d+1)*rows_local)
+        n_shards = _n_shards(mesh)
+        rows_total = -(-max(n_total, 1) // n_shards) * n_shards
+        flat = np.zeros((rows_total, row + self._row_pad), np.uint8)
         start = 0
         for wsi, entry in base.data.items():
             n = entry["n_images"]
@@ -149,9 +188,18 @@ class DeviceCachedPatchBags:
             del got
             self.ids[wsi] = self._ids_flat[start : start + n]
             start += n
-        self._cache = jax.device_put(
-            flat.reshape(flat.shape[0], (row + self._row_pad) // 128, 128)
-        )
+        flat3d = flat.reshape(flat.shape[0], (row + self._row_pad) // 128, 128)
+        if mesh is None:
+            self._cache = jax.device_put(flat3d)
+            self._replicate = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._cache = jax.device_put(
+                flat3d, NamedSharding(mesh, P(mesh.axis_names))
+            )
+            self._replicate = NamedSharding(mesh, P())
+        del flat, flat3d  # no host copy of the pixels survives wrap time
 
         # Precomputed per-item tables so ``batches()`` is a few numpy gathers
         # instead of a Python loop over the batch (measured: that loop held
@@ -166,12 +214,17 @@ class DeviceCachedPatchBags:
             for w in wsi_keys
         ]
         label_dicts = [base._labels(base.data[w]) for w in wsi_keys]
+        # union of label keys across ALL slides (not just the first): with
+        # heterogeneous CSV rows the per-batch host assembly picks up whatever
+        # each item carries, so a column missing from the first slide must not
+        # be silently dropped from cached batches; absent entries default to 0
         self._scalar_keys = [
-            k for k in (label_dicts[0] if label_dicts else {})
+            k
+            for k in dict.fromkeys(k for d in label_dicts for k in d)
             if k not in ("WSI", "case")
         ]
         self._scalars = {
-            k: np.asarray([d[k] for d in label_dicts])
+            k: np.asarray([d.get(k, 0) for d in label_dicts])
             for k in self._scalar_keys
         }
         if any("rna_data" in e for e in base.data.values()):
@@ -206,23 +259,29 @@ class DeviceCachedPatchBags:
         # zeroed via the masks so batches match the host loader's zero-filled
         # padding exactly (train-mode BN statistics see every patch, masked
         # or not); padded rows' scalar labels are zeroed by sample_mask.
+        def _put(x):
+            return jax.device_put(
+                x, *(() if self._replicate is None else (self._replicate,))
+            )
+
         self._dev_tables = {
-            "item_slot": jax.device_put(self._item_slot),
-            "item_off": jax.device_put(self._item_off),
-            "item_len": jax.device_put(self._item_len),
-            "wsi_base": jax.device_put(self._wsi_base.astype(np.int32)),
-            "scalars": {
-                k: jax.device_put(v) for k, v in self._scalars.items()
-            },
-            "rna": None if self._rna is None else jax.device_put(self._rna),
+            "item_slot": _put(self._item_slot),
+            "item_off": _put(self._item_off),
+            "item_len": _put(self._item_len),
+            "wsi_base": _put(self._wsi_base.astype(np.int32)),
+            "scalars": {k: _put(v) for k, v in self._scalars.items()},
+            "rna": None if self._rna is None else _put(self._rna),
         }
-        self._dev_ids = jax.device_put(self._ids_flat)
+        self._put = _put
+        self._dev_ids = _put(self._ids_flat)
         self._ids_dirty = False
         n_rows = max(len(self._ids_flat), 1)
 
         import jax.numpy as jnp
 
-        def _assemble(cache, ids_flat, tables, sel, b):
+        def _global_index(ids_flat, tables, sel, b):
+            """(idx, slots, valid, sample_mask) of the FULL batch — the
+            per-slide index math shared by both assembly modes."""
             lane = jnp.arange(self.bag_size, dtype=jnp.int32)[None, :]
             sample_mask = jnp.arange(sel.shape[0], dtype=jnp.int32) < b
             slots = tables["item_slot"][sel]
@@ -236,26 +295,127 @@ class DeviceCachedPatchBags:
                 0,
                 n_rows - 1,
             )
-            idx = jnp.where(valid, ids_flat[gidx], 0)
-            bag = cache[idx] * valid[..., None, None].astype(cache.dtype)
-            row = self.img_size * self.img_size * 3
-            bag = bag.reshape(idx.shape + (-1,))[..., :row]
-            out = {
-                "patch_bag": bag.reshape(
-                    idx.shape + (self.img_size, self.img_size, 3)
-                ),
-                "bag_mask": valid,
-                "sample_mask": sample_mask,
-            }
+            return jnp.where(valid, ids_flat[gidx], 0), slots, valid, sample_mask
+
+        row = self.img_size * self.img_size * 3
+
+        def _scalar_columns(tables, slots, sample_mask):
+            out = {}
             for k, col in tables["scalars"].items():
                 out[k] = jnp.where(sample_mask, col[slots], 0)
             if tables["rna"] is not None:
-                out["rna_data"] = (
-                    tables["rna"][slots] * sample_mask[:, None]
-                )
+                out["rna_data"] = tables["rna"][slots] * sample_mask[:, None]
             return out
 
-        self._assemble = jax.jit(_assemble)
+        if mesh is None:
+
+            def _assemble(cache, ids_flat, tables, sel, b):
+                idx, slots, valid, sample_mask = _global_index(
+                    ids_flat, tables, sel, b
+                )
+                bag = cache[idx] * valid[..., None, None].astype(cache.dtype)
+                bag = bag.reshape(idx.shape + (-1,))[..., :row]
+                out = {
+                    "patch_bag": bag.reshape(
+                        idx.shape + (self.img_size, self.img_size, 3)
+                    ),
+                    "bag_mask": valid,
+                    "sample_mask": sample_mask,
+                }
+                out.update(_scalar_columns(tables, slots, sample_mask))
+                return out
+
+            self._assemble = jax.jit(_assemble)
+        else:
+            # shard_map assembly: each device gathers the cache rows IT owns
+            # (rows are block-sharded over the row-major (dp, mp) grid), the
+            # zero-masked partial bags are combined over ICI — psum_scatter
+            # along the sample axis over dp (and along the bag axis over mp
+            # under shard_bag; plain psum over mp otherwise) — and every
+            # output lands already carrying the sharding the sharded train
+            # step consumes (samples over dp, bag over mp). Exactly one
+            # device contributes each element, so the sums never overflow
+            # uint8. Per-step H2D is the int32 ``sel`` alone.
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            dp = mesh.shape["dp"]
+            mp = int(np.prod(
+                [mesh.shape[a] for a in mesh.axis_names if a != "dp"]
+            ))
+            mp_axes = tuple(a for a in mesh.axis_names if a != "dp")
+            rows_local = rows_total // n_shards
+            shard_bag_ = self.shard_bag and mp > 1
+
+            def _local(cache_blk, ids_flat, tables, sel, b):
+                lax = jax.lax
+                idx, slots, valid, sample_mask = _global_index(
+                    ids_flat, tables, sel, b
+                )
+                shard = lax.axis_index("dp")
+                for a in mp_axes:
+                    shard = shard * mesh.shape[a] + lax.axis_index(a)
+                lidx = idx - shard * rows_local
+                owned = (lidx >= 0) & (lidx < rows_local)
+                keep = (valid & owned)[..., None, None].astype(cache_blk.dtype)
+                part = cache_blk[jnp.clip(lidx, 0, rows_local - 1)] * keep
+                if shard_bag_:
+                    for a in mp_axes:
+                        part = lax.psum_scatter(
+                            part, a, scatter_dimension=1, tiled=True
+                        )
+                elif mp > 1:
+                    part = lax.psum(part, mp_axes)
+                bag_u8 = lax.psum_scatter(
+                    part, "dp", scatter_dimension=0, tiled=True
+                )
+                bs, bag_l = bag_u8.shape[:2]
+                bag = bag_u8.reshape(bs, bag_l, -1)[..., :row].reshape(
+                    bs, bag_l, self.img_size, self.img_size, 3
+                )
+
+                di = lax.axis_index("dp")
+
+                def dp_blk(x):
+                    return lax.dynamic_slice_in_dim(x, di * bs, bs, axis=0)
+
+                bag_mask = dp_blk(valid)
+                if shard_bag_:
+                    off = jnp.int32(0)
+                    for a in mp_axes:
+                        off = off * mesh.shape[a] + lax.axis_index(a)
+                    bag_mask = lax.dynamic_slice_in_dim(
+                        bag_mask, off * bag_l, bag_l, axis=1
+                    )
+                out = {
+                    "patch_bag": bag,
+                    "bag_mask": bag_mask,
+                    "sample_mask": dp_blk(sample_mask),
+                }
+                for k, col in _scalar_columns(
+                    tables, slots, sample_mask
+                ).items():
+                    out[k] = dp_blk(col)
+                return out
+
+            bag_spec = P("dp", mp_axes) if shard_bag_ else P("dp")
+            out_specs = {
+                "patch_bag": bag_spec,
+                "bag_mask": bag_spec,
+                "sample_mask": P("dp"),
+                **{k: P("dp") for k in self._scalar_keys},
+            }
+            if self._rna is not None:
+                out_specs["rna_data"] = P("dp")
+            self._assemble = jax.jit(
+                shard_map(
+                    _local,
+                    mesh=mesh,
+                    in_specs=(P(mesh.axis_names), P(), P(), P(), P()),
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+            )
 
     def shuffle(self):
         """Per-epoch in-slide permutation (reference ``models.py:269-272``).
@@ -286,8 +446,14 @@ class DeviceCachedPatchBags:
         order = np.arange(len(base.index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if self.mesh is not None and batch_size % self.mesh.shape["dp"]:
+            raise ValueError(
+                f"mesh-sharded cache needs batch_size ({batch_size}) "
+                f"divisible by the mesh's dp axis "
+                f"({self.mesh.shape['dp']})"
+            )
         if self._ids_dirty:
-            self._dev_ids = jax.device_put(self._ids_flat)
+            self._dev_ids = self._put(self._ids_flat)
             self._ids_dirty = False
 
         for s in range(skip_batches * batch_size, len(order), batch_size):

@@ -43,20 +43,37 @@ def _convert_conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def adapt_conv1_channels(kernel_hwio: np.ndarray, in_channels: int) -> np.ndarray:
-    """Reference-style conv1 surgery for non-RGB inputs (resnet.py:378-428).
+def adapt_conv1_channels(
+    kernel_hwio: np.ndarray,
+    in_channels: int,
+    *,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Reference conv1 surgery for non-RGB inputs, pinned against the
+    reference's own pretrained branches (oracle test runs
+    ``resnet50_1channel``/``resnet50_4channel`` with a monkeypatched
+    ``model_zoo.load_url``):
 
-    - 1 channel: sum the RGB kernels (preserves response to grayscale input).
-    - 4 channels: keep RGB and append the channel-mean as the 4th.
+    - 1 channel (``RNone``): the MEAN over the RGB kernels
+      (``resnet.py:423-426`` — ``torch.mean(con1w, dim=1, keepdim=True)``).
+    - 4 channels (``RNfour``): keep RGB and draw the 4th channel from
+      N(0, 0.001) (``resnet.py:398-399`` — conv1 is ``normal_(0, 0.001)``
+      then ``[:, :3]`` overwritten with the pretrained kernels). The noise
+      values come from ``rng`` (torch's global RNG in the reference); parity
+      for this channel is statistical by construction.
     - 3 channels: unchanged.
     """
     h, w, c, o = kernel_hwio.shape
     if in_channels == c:
         return kernel_hwio
     if in_channels == 1:
-        return kernel_hwio.sum(axis=2, keepdims=True)
+        return kernel_hwio.mean(axis=2, keepdims=True)
     if in_channels == 4:
-        extra = kernel_hwio.mean(axis=2, keepdims=True)
+        if rng is None:
+            rng = np.random.default_rng(0)
+        extra = rng.normal(0.0, 0.001, size=(h, w, 1, o)).astype(
+            kernel_hwio.dtype
+        )
         return np.concatenate([kernel_hwio, extra], axis=2)
     raise ValueError(f"Cannot adapt conv1 from {c} to {in_channels} channels")
 
@@ -169,6 +186,22 @@ def torch_rna_to_flax(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
                 "dense_1": _linear(state, "rna_mlp.4"),
             },
             "final": _linear(state, "final_mlp.0"),
+        }
+    }
+
+
+def torch_feature_to_flax(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
+    """Reference early-fusion MLP state_dict → our ``EarlyFusionMLP`` tree.
+
+    The reference model is a bare ``Sequential(Dropout, Linear(4096,2048),
+    ReLU, Dropout, Linear(2048,200), ReLU, Dropout, Linear(200,1))``
+    (``2_EarlyFusion_train.py:242-251``), so the Linear indices are 1/4/7.
+    """
+    return {
+        "params": {
+            "dense_0": _linear(state, "1"),
+            "dense_1": _linear(state, "4"),
+            "head": _linear(state, "7"),
         }
     }
 

@@ -20,7 +20,7 @@ Two pieces:
 
 from __future__ import annotations
 
-
+import re
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +30,20 @@ from jax.experimental.shard_map import shard_map
 from flax import traverse_util
 
 
+_DENSE_RE = re.compile(r"^dense_(\d+)$")
+
+
 def joint_param_shardings(params, mesh: Mesh):
     """NamedSharding tree: TP over the RNA encoder hidden axis, rest replicated.
 
     Works for both ``RNAOnlyModel`` ({encoder: {dense_0, dense_1}}) and
-    ``BagHistopathologyRNAModel`` ({rna_encoder: {...}}) param trees.
+    ``BagHistopathologyRNAModel`` ({rna_encoder: {...}}) param trees, at ANY
+    encoder depth (``RNAEncoder(hidden_dims=...)`` is configurable): the
+    ``dense_{i}`` stack alternates Megatron column-parallel (even ``i``: out
+    axis sharded) / row-parallel (odd ``i``: in axis sharded), so each pair
+    needs exactly one activation all-reduce, which XLA inserts. An odd-depth
+    stack ends column-parallel; GSPMD all-gathers the final activation into
+    the replicated head.
     """
     flat = traverse_util.flatten_dict(params)
     out = {}
@@ -42,10 +51,15 @@ def joint_param_shardings(params, mesh: Mesh):
         spec = P()
         strs = [str(p) for p in path]
         if ("encoder" in strs[0] or "rna" in strs[0]) and strs[-1] == "kernel":
-            if "dense_0" in strs:
-                spec = P(None, "mp")  # column-parallel: hidden out axis
-            elif "dense_1" in strs:
-                spec = P("mp", None)  # row-parallel: hidden in axis
+            m = next(
+                (mt for s in strs if (mt := _DENSE_RE.match(s)) is not None),
+                None,
+            )
+            if m is not None:
+                if int(m.group(1)) % 2 == 0:
+                    spec = P(None, "mp")  # column-parallel: hidden out axis
+                else:
+                    spec = P("mp", None)  # row-parallel: hidden in axis
         out[path] = NamedSharding(mesh, spec)
     return traverse_util.unflatten_dict(out)
 

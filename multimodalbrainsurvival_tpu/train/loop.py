@@ -74,6 +74,13 @@ class TrainSettings:
     batch_size: int = 128
     eval_splits_during_training: tuple = ("train", "val")
     device_put_fn: Callable | None = None  # parallel/: shard batches onto a mesh
+    # first epoch eligible for the best-by-val-loss checkpoint. ONLY the
+    # HistoPath reference driver skips epoch 0 (2_HistoPath_train.py:378
+    # `and epoch > 0`); the RNA / EarlyFusion / JointFusion drivers save
+    # best from epoch 0 (1_GeneExpress_train.py:196-199,
+    # 2_EarlyFusion_train.py:195-199, 1_JointFusion_train.py:244-247), so
+    # the histo CLI sets 1 and everything else keeps 0.
+    best_from_epoch: int = 0
     extra_loader_kwargs: dict = field(default_factory=dict)
     # NaN guard: the reference drops into pdb on a NaN loss
     # (1_HistoPathology/models.py:107-109); here a hard error with context.
@@ -269,6 +276,16 @@ def evaluate(
         print(f"{split}  | epoch {epoch} | empty split, no evaluation")
         return float("nan"), None, {"loss": float("nan")}
     losses = np.asarray(jnp.stack(losses))
+    if settings.check_numerics and not np.all(np.isfinite(losses)):
+        # without this, a NaN batch loss would silently fold into val_loss
+        # and corrupt best-checkpoint selection (np.nan < best is False, so
+        # "best" would just freeze without any diagnostic)
+        bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+        raise FloatingPointError(
+            f"non-finite eval loss {float(losses[bad])} in split {split!r} "
+            f"batch {bad} at epoch {epoch} (task={settings.task}); "
+            f"best-checkpoint selection would be corrupted."
+        )
     outputs = np.asarray(jnp.concatenate(outputs, axis=0))
     outputs = outputs[np.concatenate(masks)]
     # parity: unweighted mean over batch losses, exactly like the reference's
@@ -431,6 +448,8 @@ def train_model(
     skip_batches = 0  # batches of the resumed epoch already consumed pre-preemption
     skip_shuffle_once = False  # the interrupted run already shuffled that epoch
     running_loss, seen = 0.0, 0.0
+    # logged-loss accumulators of a mid-epoch-resumed epoch (consumed once)
+    resume_running_loss = resume_seen = 0.0
     pending_losses: list = []
 
     def _full_state():
@@ -452,6 +471,11 @@ def train_model(
                 "rng": jax.random.key_data(rng)
                 if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
                 else rng,
+                # the epoch's running logged-loss accumulators, so a mid-epoch
+                # resume's "EPOCH Loss" line covers the WHOLE epoch (not just
+                # post-resume batches) and matches an uninterrupted run
+                "running_loss": jnp.float32(running_loss),
+                "seen": jnp.float32(seen),
             },
         }
 
@@ -460,24 +484,51 @@ def train_model(
         if settings.save_dir
         else None
     )
-    if settings.resume and state_path and Checkpointer.exists(state_path):
+    # Emergency (preemption) snapshots go to a SIBLING path: orbax's
+    # force=True save deletes the destination before the fresh write commits
+    # (tmp dir + rename), so saving the emergency state over `train_state` in
+    # place would open a window where a SIGKILL (grace period expiry — the
+    # exact scenario the feature targets) loses the ONLY recovery checkpoint.
+    # Writing to `.preempt` never touches the boundary checkpoint; a resume
+    # picks whichever committed state is newest.
+    preempt_path = state_path + ".preempt" if state_path else None
+
+    def _newest_state_path():
+        cands = [
+            p
+            for p in (state_path, preempt_path)
+            if p and Checkpointer.exists(p)
+        ]
+        return max(cands, key=os.path.getmtime) if cands else None
+
+    restore_from = _newest_state_path() if settings.resume else None
+    if restore_from:
         # checkpoints written before the PRNG stream / the mid-epoch position
-        # joined the state lack meta.rng / meta.epoch_step; try the richest
-        # template first, then the progressively older layouts
+        # / the running-loss accumulators joined the state lack the newer
+        # meta keys; try the richest template first, then every combination
+        # of absent optional-key groups (any subset can be missing — states
+        # are also produced by tooling that strips individual keys)
+        import itertools
+
+        _optional_meta = (("rng",), ("epoch_step",), ("running_loss", "seen"))
         template = _full_state()
         restored = None
-        for drop in ((), ("rng",), ("epoch_step",), ("epoch_step", "rng")):
+        for drop in (
+            tuple(k for grp in combo for k in grp)
+            for r in range(len(_optional_meta) + 1)
+            for combo in itertools.combinations(_optional_meta, r)
+        ):
             t = dict(template)
             t["meta"] = {
                 k: v for k, v in template["meta"].items() if k not in drop
             }
             try:
-                restored = ckpt.restore(state_path, t)
+                restored = ckpt.restore(restore_from, t)
                 break
             except Exception:
                 continue
         if restored is None:  # none matched — surface the real error
-            restored = ckpt.restore(state_path, template)
+            restored = ckpt.restore(restore_from, template)
         params = restored["params"]
         if batch_stats is not None:
             batch_stats = restored["batch_stats"]
@@ -501,12 +552,17 @@ def train_model(
             skip_batches = resumed_epoch_step
             skip_shuffle_once = True
             shuffles_done = start_epoch + 1
+            # carry the interrupted epoch's logged-loss accumulators so the
+            # resumed epoch's "EPOCH Loss" covers all its batches
+            resume_running_loss = float(restored["meta"].get("running_loss", 0.0))
+            resume_seen = float(restored["meta"].get("seen", 0.0))
         else:
             start_epoch = int(restored["meta"]["epoch"]) + 1
             state_epoch = start_epoch - 1
             shuffles_done = start_epoch
+            resume_running_loss = resume_seen = 0.0
         print(
-            f"Resumed full train state from {state_path}: epoch {start_epoch}"
+            f"Resumed full train state from {restore_from}: epoch {start_epoch}"
             + (f" (batch {skip_batches})" if skip_batches else "")
             + f", step {step}, best_val_loss {best_val_loss:.4f}"
         )
@@ -570,14 +626,15 @@ def train_model(
         running_loss, seen = _drain_losses(
             pending_losses, running_loss, seen, settings, state_epoch
         )
-        ckpt.save(state_path, _full_state(), block=True)
+        # sibling path, never in-place over `train_state`: see preempt_path
+        ckpt.save(preempt_path, _full_state(), block=True)
         print(
             f"PREEMPTED: saved full train state (epoch {state_epoch}, batch "
-            f"{epoch_step}, global step {step}) to {state_path}; rerun with "
+            f"{epoch_step}, global step {step}) to {preempt_path}; rerun with "
             f"resume: true to continue exactly",
             flush=True,
         )
-        raise TrainingPreempted(state_epoch, epoch_step, state_path)
+        raise TrainingPreempted(state_epoch, epoch_step, preempt_path)
 
     try:
         for epoch in range(start_epoch, settings.num_epochs):
@@ -594,8 +651,11 @@ def train_model(
 
             this_epoch_skip, skip_batches = skip_batches, 0
             epoch_step = this_epoch_skip
-            running_loss, seen = 0.0, 0.0
-            last_running_loss, last_seen = 0.0, 0.0
+            # a mid-epoch resume re-enters with the interrupted epoch's
+            # accumulators so its EPOCH Loss line matches an uninterrupted run
+            running_loss, seen = resume_running_loss, resume_seen
+            resume_running_loss = resume_seen = 0.0
+            last_running_loss, last_seen = running_loss, seen
             pending_losses: list = []
             t_last = time.time()
             steps_since_log = 0
@@ -697,10 +757,13 @@ def train_model(
                 )
                 print(f"{split.upper()} Loss: {sl:.4f}")
                 if split == "val":
-                    # parity quirk: best is only tracked for epoch > 0
-                    # (2_HistoPath_train.py:378-381)
+                    # parity quirk: the histo driver only tracks best for
+                    # epoch > 0 (2_HistoPath_train.py:378-381, via
+                    # best_from_epoch=1); the other reference drivers save
+                    # from epoch 0
                     if sl < best_val_loss and (
-                        epoch > 0 or not settings.reference_parity
+                        epoch >= settings.best_from_epoch
+                        or not settings.reference_parity
                     ):
                         best_epoch = epoch
                         best_val_loss = sl
@@ -735,6 +798,13 @@ def train_model(
         # saves are async (train/checkpoint.py); settle them before the final
         # evals so `model_dict_best` is definitely on disk for the restore
         ckpt.wait()
+        # training completed: a leftover emergency snapshot is now stale
+        # (the just-committed boundary state is newer) — drop it so nothing
+        # ever resumes into the middle of a finished run
+        if preempt_path and Checkpointer.exists(preempt_path):
+            import shutil
+
+            shutil.rmtree(preempt_path, ignore_errors=True)
 
     # final evals: last + best on train/val/test with CSV artifacts
     outputs: dict[str, Any] = {}

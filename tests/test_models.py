@@ -132,10 +132,74 @@ def test_conv1_channel_surgery():
     k = np.random.default_rng(0).normal(size=(7, 7, 3, 64)).astype(np.float32)
     k1 = adapt_conv1_channels(k, 1)
     assert k1.shape == (7, 7, 1, 64)
-    np.testing.assert_allclose(k1[..., 0, :], k.sum(axis=2), rtol=1e-6)
+    np.testing.assert_allclose(k1[..., 0, :], k.mean(axis=2), rtol=1e-6)
     k4 = adapt_conv1_channels(k, 4)
     assert k4.shape == (7, 7, 4, 64)
-    np.testing.assert_allclose(k4[..., 3, :], k.mean(axis=2), rtol=1e-6)
+    np.testing.assert_allclose(k4[..., :3, :], k, rtol=1e-6)
+    noise = k4[..., 3, :]
+    assert abs(noise.mean()) < 3e-4 and abs(noise.std() - 0.001) < 3e-4
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
+def test_conv1_surgery_matches_reference_pretrained_branches():
+    """Oracle: run the reference's OWN pretrained surgery
+    (resnet50_1channel / resnet50_4channel, resnet.py:378-428) with
+    model_zoo.load_url monkeypatched to a synthetic resnet50 state dict, and
+    check adapt_conv1_channels reproduces the resulting conv1 weights —
+    exactly for the 1-channel mean, exactly for the RGB slice of the
+    4-channel variant, statistically (N(0, 0.001)) for its noise channel."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import resnet as ref_resnet
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    torch.manual_seed(0)
+    synthetic = ref_resnet.resnet50(pretrained=False).state_dict()
+    orig_load_url = ref_resnet.model_zoo.load_url
+    ref_resnet.model_zoo.load_url = lambda *a, **k: synthetic
+    try:
+        torch.manual_seed(7)
+        one = ref_resnet.resnet50_1channel(pretrained=True)
+        torch.manual_seed(7)
+        four = ref_resnet.resnet50_4channel(pretrained=True)
+    finally:
+        ref_resnet.model_zoo.load_url = orig_load_url
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        _convert_conv,
+        adapt_conv1_channels,
+    )
+
+    k_hwio = _convert_conv(synthetic["conv1.weight"].numpy())
+
+    want1 = _convert_conv(one.conv1.weight.detach().numpy())
+    np.testing.assert_allclose(
+        adapt_conv1_channels(k_hwio, 1), want1, rtol=1e-6, atol=1e-7
+    )
+
+    want4 = _convert_conv(four.conv1.weight.detach().numpy())
+    got4 = adapt_conv1_channels(k_hwio, 4)
+    np.testing.assert_allclose(got4[..., :3, :], want4[..., :3, :],
+                               rtol=1e-6, atol=1e-7)
+    # 4th channel: reference draws from torch's global RNG; ours from a numpy
+    # Generator — statistical parity (same N(0, 0.001) distribution)
+    for noise in (want4[..., 3, :], got4[..., 3, :]):
+        assert abs(noise.mean()) < 3e-4 and abs(noise.std() - 0.001) < 3e-4
+
+    # every non-conv1 weight is the pretrained one, byte-identical, in BOTH
+    # variants (resnet.py:392-396 filters only conv1.weight)
+    for name in ("layer1.0.conv1.weight", "fc.weight", "bn1.running_mean"):
+        np.testing.assert_array_equal(
+            one.state_dict()[name].numpy(), synthetic[name].numpy()
+        )
+        np.testing.assert_array_equal(
+            four.state_dict()[name].numpy(), synthetic[name].numpy()
+        )
 
 
 def test_rna_model_shapes_and_extract():

@@ -78,6 +78,33 @@ def test_tp_sharded_rna_forward_matches_replicated():
                                atol=1e-6)
 
 
+def test_tp_shardings_generalize_past_two_hidden_layers():
+    """joint_param_shardings must shard ANY RNAEncoder(hidden_dims=...) depth
+    (VERDICT r2 weak 5: the dense_0/dense_1 literal match silently became a
+    no-op for other depths) — and the sharded forward must stay exact."""
+    from jax.sharding import PartitionSpec as P
+
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+
+    mesh = make_mesh(dp=2, mp=4)
+    model = RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(64, 32, 16)))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 100))
+    variables = model.init(jax.random.PRNGKey(1), x)
+
+    sh = joint_param_shardings(variables["params"], mesh)
+    enc = sh["encoder"]
+    assert enc["dense_0"]["kernel"].spec == P(None, "mp")  # column
+    assert enc["dense_1"]["kernel"].spec == P("mp", None)  # row
+    assert enc["dense_2"]["kernel"].spec == P(None, "mp")  # column again
+    assert sh["final"]["kernel"].spec == P()
+
+    want = model.apply(variables, x)
+    sharded_vars = jax.device_put(variables, {"params": sh})
+    got = jax.jit(model.apply)(sharded_vars, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_mesh_config_drives_cli_training(tmp_path):
     """`mesh: {"dp": 8}` in a reference-schema config shards CLI training."""
     import json

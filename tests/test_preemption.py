@@ -89,6 +89,64 @@ def test_midepoch_preemption_resume_is_exact(tmp_path):
     _assert_tree_equal(v_straight["params"], v_resumed["params"])
 
 
+def test_resumed_epoch_loss_trace_matches_uninterrupted(tmp_path, capsys):
+    """The resumed epoch's printed 'EPOCH Loss' must cover the WHOLE epoch
+    (the emergency checkpoint persists the running-loss accumulators), so the
+    trace matches an uninterrupted run — not just the post-resume batches."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train import (
+        TrainingPreempted,
+        TrainSettings,
+        train_model,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(16)], n_rna=8, seed=4)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+
+    def make():
+        return TableAdapter(
+            model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8)))
+        )
+
+    def settings(save_dir, *, resume=False, preempt_after=0):
+        return TrainSettings(
+            num_epochs=2, batch_size=8, save_dir=save_dir, seed=17,
+            eval_splits_during_training=(), resume=resume,
+            preempt_after_steps=preempt_after,
+        )
+
+    def epoch_losses(out: str) -> list[float]:
+        # values only: the accumulators round-trip through float32 in the
+        # checkpoint, so compare numerically rather than string-exactly
+        return [float(ln.split(":")[1]) for ln in out.splitlines()
+                if ln.startswith("EPOCH Loss")]
+
+    train_model(make(), {"train": ds}, optax.adam(1e-3),
+                settings(str(tmp_path / "a")))
+    straight = epoch_losses(capsys.readouterr().out)
+    assert len(straight) == 2
+
+    # preempt mid-epoch-1 (step 3 = epoch 1, batch 1 done), then resume;
+    # ALSO covers the edge where the whole epoch was consumed (step 4)
+    for n, preempt_after in (("b", 3), ("c", 4)):
+        with pytest.raises(TrainingPreempted):
+            train_model(make(), {"train": ds}, optax.adam(1e-3),
+                        settings(str(tmp_path / n), preempt_after=preempt_after))
+        capsys.readouterr()
+        train_model(make(), {"train": ds}, optax.adam(1e-3),
+                    settings(str(tmp_path / n), resume=True))
+        resumed = epoch_losses(capsys.readouterr().out)
+        np.testing.assert_allclose(
+            resumed, straight[1:], atol=1e-3,
+            err_msg=f"preempt_after={preempt_after}",
+        )
+
+
 def test_preemption_at_last_batch_of_epoch_resumes_cleanly(tmp_path):
     """Edge: the emergency save lands after the epoch's final batch — resume
     re-enters that epoch with nothing left to consume, finishes its eval +
@@ -298,7 +356,10 @@ def test_sigterm_triggers_emergency_checkpoint_in_subprocess(tmp_path):
     out = "".join(lines)
     assert proc.returncode == 0, out
     assert "PREEMPTED: saved full train state" in out, out
-    assert os.path.isdir(tmp_path / "ckpt" / "train_state")
+    # the emergency snapshot goes to a SIBLING path so a SIGKILL mid-save can
+    # never destroy the boundary checkpoint (orbax force=True deletes the
+    # destination before the fresh write commits)
+    assert os.path.isdir(tmp_path / "ckpt" / "train_state.preempt")
 
     # the committed state resumes (short run to completion)
     res = subprocess.run(

@@ -511,3 +511,51 @@ def test_compile_cache_dir_config_key(tmp_path):
         assert jax.config.jax_compilation_cache_dir == prev
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_eval_nan_guard_raises(tmp_path):
+    """A non-finite eval loss must raise (train/loop.py evaluate), not fold
+    silently into val_loss and corrupt best-checkpoint selection."""
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.loop import TrainSettings, evaluate
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(8)], n_rna=4, seed=2)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+    adapter = TableAdapter(
+        model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4, 2), dropout=0.0))
+    )
+    probe = next(ds.batches(2))
+    variables = adapter.init(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    poisoned = jax.tree.map(lambda p: p * jnp.nan, variables)
+    settings = TrainSettings(batch_size=4)
+    with pytest.raises(FloatingPointError, match="non-finite eval loss"):
+        evaluate(adapter, poisoned, ds, settings, split="val", epoch=0)
+    # the guard is optional (check_numerics=False -> reference-style silence)
+    settings = TrainSettings(batch_size=4, check_numerics=False)
+    loss, _, _ = evaluate(adapter, poisoned, ds, settings, split="val", epoch=0)
+    assert np.isnan(loss)
+
+
+def test_run_train_preemption_exits_143():
+    """A preempted CLI run must NOT exit 0 — schedulers keyed on exit codes
+    would treat the incomplete run as done and never rerun it."""
+    from multimodalbrainsurvival_tpu.cli._common import (
+        PREEMPTED_EXIT_CODE,
+        run_train,
+    )
+    from multimodalbrainsurvival_tpu.train import TrainingPreempted
+
+    def boom():
+        raise TrainingPreempted(0, 1, "/nowhere/train_state.preempt")
+
+    with pytest.raises(SystemExit) as exc:
+        run_train(boom)
+    assert exc.value.code == PREEMPTED_EXIT_CODE == 143
+
+    assert run_train(lambda: "ok") == "ok"

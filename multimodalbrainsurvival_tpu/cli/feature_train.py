@@ -25,8 +25,12 @@ from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
 from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
 
-def build_feature_model() -> EarlyFusionMLP:
-    return EarlyFusionMLP(hidden_dims=(2048, 200))
+def build_feature_model(config=None) -> EarlyFusionMLP:
+    # `dropout` is a TPU-native extension (reference hardcodes nn.Dropout()
+    # p=0.5, 2_EarlyFusion_train.py:242-251) used e.g. by the deterministic
+    # cross-stack golden runs (tests/test_golden_crossstack.py)
+    p = 0.5 if config is None else float(config.get("dropout", 0.5))
+    return EarlyFusionMLP(hidden_dims=(2048, 200), dropout=p)
 
 
 def main(argv=None):
@@ -39,7 +43,7 @@ def main(argv=None):
         "val": FeatureTableDataset(config["val_csv_path"]),
         "test": FeatureTableDataset(config["test_csv_path"]),
     }
-    model = build_feature_model()
+    model = build_feature_model(config)
     adapter = TableAdapter(model=model)
     settings = TrainSettings(
         num_epochs=1 if args.quick else config.num_epochs,

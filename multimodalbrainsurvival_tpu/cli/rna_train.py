@@ -34,8 +34,12 @@ from multimodalbrainsurvival_tpu.train.optim import (
 
 
 def build_rna_model(config=None) -> RNAOnlyModel:
-    del config  # reference schema: 12778 -> 4096 -> 2048 fixed
-    return RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4096, 2048)))
+    # reference schema: 12778 -> 4096 -> 2048 fixed; `dropout` is a TPU-native
+    # extension (reference hardcodes nn.Dropout() p=0.5,
+    # 1_GeneExpress_train.py:247-257) used e.g. by the deterministic
+    # cross-stack golden runs (tests/test_golden_crossstack.py)
+    p = 0.5 if config is None else float(config.get("dropout", 0.5))
+    return RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(4096, 2048), dropout=p))
 
 
 def build_rna_optimizer(params, config):

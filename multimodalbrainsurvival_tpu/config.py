@@ -35,6 +35,7 @@ KNOWN_KEYS = {
     "compute_dtype", "reference_parity", "mesh", "log_interval",
     "keep_bag_remainder", "num_devices", "resume", "fold_bn",
     "cache_patches_on_device", "emergency_checkpoint", "compile_cache_dir",
+    "dropout",
 }
 
 

@@ -46,9 +46,13 @@ def make_survival_csv(
     )
     if wsi_names is not None:
         df["wsi_file_name"] = wsi_names
-    for i in range(n_rna):
-        df[f"rna_{i}"] = rng.normal(size=n).astype(np.float32)
-    for i in range(n_feature):
-        df[f"feature_{i}"] = rng.normal(size=n).astype(np.float32)
+    # build wide blocks in one concat: per-column insertion fragments the
+    # frame and is quadratic at the RNA pipeline's 12,778 columns
+    wide = {f"rna_{i}": rng.normal(size=n).astype(np.float32)
+            for i in range(n_rna)}
+    wide.update({f"feature_{i}": rng.normal(size=n).astype(np.float32)
+                 for i in range(n_feature)})
+    if wide:
+        df = pd.concat([df, pd.DataFrame(wide)], axis=1)
     df.to_csv(path, index=False)
     return df

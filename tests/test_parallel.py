@@ -217,3 +217,28 @@ def test_two_process_distributed_mesh():
                 p.kill()
     assert any("MULTIHOST OK pid=0" in o for o in outs), outs
     assert any("MULTIHOST OK pid=1" in o for o in outs), outs
+
+
+def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):
+    """benchmarks/weak_scaling.py (the ready-to-run multi-chip proof harness,
+    VERDICT r2 #9) must keep working in its virtual-device validation mode:
+    it measures dp=1 vs dp=n extract throughput and emits one JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/weak_scaling.py", "--platform", "cpu",
+         "--devices", "8", "--per-chip-batch", "2", "--iters", "1",
+         "--img", "32", "--model", "resnet18"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "extractfeatures_weak_scaling"
+    assert out["devices"] == 8 and out["platform"] == "cpu"
+    assert out["rate_dp1"] > 0 and out["rate_dpn"] > 0
+    # no efficiency assertion here: 8 virtual devices share ONE physical core,
+    # so weak scaling is structurally ~1/n on this box; the harness itself
+    # asserts >= 0.9 only when pointed at real multi-chip hardware

@@ -4,12 +4,10 @@ from multimodalbrainsurvival_tpu.parallel.mesh import (
 )
 from multimodalbrainsurvival_tpu.parallel.sharding import (
     joint_param_shardings,
-    sharded_attention_bag_mean,
 )
 
 __all__ = [
     "make_mesh",
     "batch_device_put",
     "joint_param_shardings",
-    "sharded_attention_bag_mean",
 ]

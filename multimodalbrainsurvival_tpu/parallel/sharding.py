@@ -1,21 +1,20 @@
-"""Sharding rules + explicit-collective kernels for model/bag parallelism.
+"""Sharding rules for model/bag parallelism.
 
-Two pieces:
+``joint_param_shardings`` — tensor-parallel partition rules for the param
+tree: the RNA MLP's hidden axis is sharded over ``mp``
+(``Dense(12778→4096)`` kernel ``P(None, 'mp')``, ``Dense(4096→2048)``
+kernel ``P('mp', None)`` — a Megatron column/row pair whose activation
+all-reduce XLA inserts automatically), everything else replicated.
 
-1. ``joint_param_shardings`` — tensor-parallel partition rules for the param
-   tree: the RNA MLP's hidden axis is sharded over ``mp``
-   (``Dense(12778→4096)`` kernel ``P(None, 'mp')``, ``Dense(4096→2048)``
-   kernel ``P('mp', None)`` — a Megatron column/row pair whose activation
-   all-reduce XLA inserts automatically), everything else replicated.
-
-2. ``sharded_attention_bag_mean`` — the bag/sequence-parallel MIL
-   aggregation (SURVEY.md §2.2: the workload's CP/ring-attention analog).
-   One WSI's patches span devices along ``mp``; the gated tanh-attention
-   softmax and the weighted mean are computed with explicit
-   ``lax.psum``/``lax.pmax`` over the bag shards inside ``shard_map``, so a
-   bag of thousands of patches never needs to be resident on one chip.
-   Numerically identical to the single-device ``TanhAttention →
-   masked_bag_mean`` composition (tested on the 8-device CPU mesh).
+Bag/sequence parallelism (SURVEY.md §2.2's CP analog) is served by the
+GSPMD path alone: ``batch_device_put(shard_bag=True)`` places the bag axis
+on ``mp`` and XLA partitions the aggregator's softmax/mean. An explicit
+``shard_map`` kernel (``sharded_attention_bag_mean``) existed through
+round 2 as a parallel implementation; benchmarked head-to-head at the
+full-slide shape (B=4, bag=2048, D=512, 8 virtual devices) it lowered to
+the SAME collective pattern (all-gather + all-reduce) but ran 2.1x slower
+(85.7 vs 41.6 ms/call), so it was deleted per the wire-or-delete review —
+one bag-sharding implementation, the faster one (docs/DESIGN.md item 17).
 """
 
 from __future__ import annotations
@@ -25,7 +24,6 @@ import re
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from flax import traverse_util
 
@@ -66,48 +64,3 @@ def joint_param_shardings(params, mesh: Mesh):
 
 def replicated_shardings(tree, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
-
-
-def sharded_attention_bag_mean(
-    x: jax.Array,
-    mask: jax.Array,
-    W: jax.Array,
-    v: jax.Array,
-    mesh: Mesh,
-    *,
-    axis: str = "mp",
-) -> jax.Array:
-    """Bag-sharded gated tanh attention + weighted mean.
-
-    Args:
-      x: (B, bag, D) patch features, bag axis sharded over ``axis``.
-      mask: (B, bag) validity mask, sharded like ``x``.
-      W: (D, D) attention projection (replicated).
-      v: (D,) attention vector (replicated).
-
-    Returns (B, D): for each sample, ``Σ_t softmax_t(tanh(x W)·v) · x_t``
-    over REAL patches — exactly ``TanhAttention`` + ``masked_bag_mean``
-    (models/aggregators.py) on the gathered bag.
-    """
-
-    def local(x_blk, m_blk, W_, v_):
-        # x_blk: (B, bag/k, D) local shard
-        logits = jnp.einsum("btd,d->bt", jnp.tanh(x_blk @ W_), v_)
-        neg = jnp.float32(-1e30)
-        logits = jnp.where(m_blk, logits, neg)
-        # global max over all bag shards (stability)
-        gmax = jax.lax.pmax(jnp.max(logits, axis=1), axis)  # (B,)
-        e = jnp.where(m_blk, jnp.exp(logits - gmax[:, None]), 0.0)
-        denom = jax.lax.psum(jnp.sum(e, axis=1), axis)  # (B,)
-        num = jax.lax.psum(
-            jnp.einsum("bt,btd->bd", e, x_blk), axis
-        )  # (B, D)
-        return num / jnp.maximum(denom, 1e-30)[:, None]
-
-    return shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P(), P()),
-        out_specs=P(),
-        check_rep=False,
-    )(x, mask, W, v)

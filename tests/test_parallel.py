@@ -10,7 +10,6 @@ from multimodalbrainsurvival_tpu.parallel import (
     batch_device_put,
     joint_param_shardings,
     make_mesh,
-    sharded_attention_bag_mean,
 )
 
 
@@ -21,32 +20,6 @@ def test_make_mesh_shapes():
     assert mesh.shape["dp"] == 8 and mesh.shape["mp"] == 1
     with pytest.raises(ValueError):
         make_mesh(dp=16, mp=2)
-
-
-def test_sharded_attention_matches_single_device():
-    from multimodalbrainsurvival_tpu.models.aggregators import TanhAttention
-    from multimodalbrainsurvival_tpu.models.mil import masked_bag_mean
-
-    mesh = make_mesh(dp=1, mp=8)
-    rng = np.random.default_rng(0)
-    B, bag, D = 3, 16, 32  # bag 16 shards over 8 devices
-    x = rng.normal(size=(B, bag, D)).astype(np.float32)
-    mask = rng.uniform(size=(B, bag)) < 0.7
-    mask[:, 0] = True
-    W = (rng.normal(size=(D, D)) * 0.2).astype(np.float32)
-    v = rng.normal(size=(D,)).astype(np.float32)
-
-    # single-device oracle through the real aggregator module
-    agg = TanhAttention(dim=D)
-    variables = {"params": {"vector": jnp.array(v), "linear": {"kernel": jnp.array(W)}}}
-    out_ref, _ = agg.apply(variables, jnp.array(x), mask=jnp.array(mask))
-    want = masked_bag_mean(out_ref, jnp.array(mask))
-    # TanhAttention output is x*w*count; masked mean divides by count → Σ w·x
-    got = sharded_attention_bag_mean(
-        jnp.array(x), jnp.array(mask), jnp.array(W), jnp.array(v), mesh
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
-                               atol=1e-5)
 
 
 def test_batch_device_put_shards_on_dp():

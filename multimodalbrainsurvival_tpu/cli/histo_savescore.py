@@ -54,7 +54,10 @@ def main(argv=None):
     prefix = os.path.basename(str(config["model_path"]).rstrip("/")) + "_pathology"
     for split, ds in datasets.items():
         print(f"Evaluation for dataset : {split}")
-        _, frame, _ = evaluate(adapter, variables, ds, settings, split=split)
+        # savescore writes the CASE-level frame (3_HistoPath_savescore.py:110-117),
+        # unlike the train driver's WSI-level output frames
+        _, frame, _ = evaluate(adapter, variables, ds, settings,
+                               split=split, frame_level="case")
         out = os.path.join(output_path, savescore_name(prefix, split, flag))
         frame.to_csv(out)
         print(f"wrote {out}")

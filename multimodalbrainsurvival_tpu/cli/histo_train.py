@@ -124,6 +124,7 @@ def build_datasets(config, quick: bool, device_put_fn=None):
 
     return maybe_cache_datasets(
         datasets, bool(config.get("cache_patches_on_device", False)),
+        max_bytes=int(config.get("cache_max_bytes_per_device", 12 << 30)),
         mesh=getattr(device_put_fn, "mesh", None),
         shard_bag=getattr(device_put_fn, "shard_bag", False),
     )
@@ -142,6 +143,10 @@ def main(argv=None):
     adapter = MILAdapter(
         model=model,
         loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+        # `augment: false` (TPU-native extension) turns off the train-time
+        # flips + color jitter (the reference hardcodes them,
+        # 2_HistoPath_train.py:474-481) — e.g. for deterministic golden runs
+        augment=bool(config.get("augment", True)),
     )
     settings = TrainSettings(
         num_epochs=config.num_epochs,

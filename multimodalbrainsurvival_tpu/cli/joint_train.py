@@ -100,6 +100,7 @@ def build_joint_datasets(config, quick: bool, device_put_fn=None):
 
     return maybe_cache_datasets(
         datasets, bool(config.get("cache_patches_on_device", False)),
+        max_bytes=int(config.get("cache_max_bytes_per_device", 12 << 30)),
         mesh=getattr(device_put_fn, "mesh", None),
         shard_bag=getattr(device_put_fn, "shard_bag", False),
     )

@@ -34,8 +34,8 @@ KNOWN_KEYS = {
     # TPU-native extensions (not in reference)
     "compute_dtype", "reference_parity", "mesh", "log_interval",
     "keep_bag_remainder", "num_devices", "resume", "fold_bn",
-    "cache_patches_on_device", "emergency_checkpoint", "compile_cache_dir",
-    "dropout",
+    "cache_patches_on_device", "cache_max_bytes_per_device",
+    "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
 }
 
 

@@ -47,13 +47,69 @@ class _Identity(nn.Module):
         return x
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``_BatchNorm``'s EXACT semantics.
+
+    torch normalizes by the biased batch variance but accumulates the
+    UNBIASED one (``n/(n-1)``) into ``running_var``; ``flax.linen.BatchNorm``
+    accumulates the biased variance, which drifts running_var by a factor
+    n/(n-1) per update — a divergence caught by the HistoPath golden run
+    (tests/test_golden_crossstack.py: layer4's 7x7x4-element reduction gives
+    n/(n-1) = 1.005, visible after 3 steps). Collection/param names match
+    flax's (``mean``/``var``/``scale``/``bias``), so checkpoints and the BN
+    folding path are unaffected.
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feats = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feats,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feats,), jnp.float32)
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (feats,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (feats,), jnp.float32
+        )
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (
+                    var * (n / max(n - 1, 1))
+                )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def _make_norm(fold_bn: bool, train: bool):
     """BN factory; with fold_bn the affine lives inside the conv bias
     (``models/folding.py``) and the norm is the identity."""
     if fold_bn:
         return lambda name=None: _Identity(name=name)
     return partial(
-        nn.BatchNorm,
+        TorchBatchNorm,
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
@@ -218,7 +274,7 @@ class ResNet(nn.Module):
         self.bn1 = (
             _Identity(name="bn1")
             if self.fold_bn
-            else nn.BatchNorm(
+            else TorchBatchNorm(
                 momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1"
             )
         )

@@ -209,9 +209,12 @@ def evaluate(
     split: str = "val",
     epoch: int = 0,
     writer=None,
+    frame_level: str | None = None,
 ):
     """Full-split eval: mean batch loss + task metrics + the reference's
-    per-id score frame (``2_HistoPath_train.py:54-148``)."""
+    per-id score frame (``2_HistoPath_train.py:54-148``). ``frame_level``
+    ("wsi"/"case") overrides the per-task default grouping of the returned
+    frame (see the comment at the frame-selection block)."""
     loss_fn, loss_keys = make_loss_fn(settings)
     all_keys = tuple(dict.fromkeys(adapter.array_keys + loss_keys))
 
@@ -297,23 +300,31 @@ def evaluate(
     status = np.array(labels.get("vital_status", []))
 
     metrics: dict[str, float] = {"loss": val_loss}
-    frame = None
+    # The returned score frame's grouping level follows the reference, which
+    # is INCONSISTENT across drivers and tasks: the histo TRAIN driver keeps
+    # the WSI-level frame for classification/survival_prediction but the
+    # CASE-level one for survival_bin (2_HistoPath_train.py:124/:132 vs
+    # :140-141), while SAVESCORE always keeps the case level
+    # (3_HistoPath_savescore.py:110-117) — callers that need the latter pass
+    # ``frame_level="case"``. Table pipelines only have a case level either
+    # way.
+    frames: dict[str, Any] = {}
     if settings.task == "survival_prediction":
         for key in adapter.id_keys:
             if not ids.get(key):
                 continue
-            ci, frame = M.survival_ci(outputs, ids[key], months, status)
             level = "wsi" if key == "WSI" else "case"
+            ci, frames[level] = M.survival_ci(outputs, ids[key], months, status)
             metrics[f"{level}_CI"] = ci
             print(f"{split} {level}  | epoch {epoch} | CI {ci:.3f}")
     elif settings.task == "survival_bin":
         for key in adapter.id_keys:
             if not ids.get(key):
                 continue
-            ci, frame = M.nllsurv_ci(
+            level = "wsi" if key == "WSI" else "case"
+            ci, frames[level] = M.nllsurv_ci(
                 outputs, status, months, ids[key], settings.num_classes
             )
-            level = "wsi" if key == "WSI" else "case"
             metrics[f"{level}_CI"] = ci
             print(f"{split} {level}  | epoch {epoch} | CI {ci:.3f}")
     elif settings.task == "classification":
@@ -321,8 +332,10 @@ def evaluate(
         for key in adapter.id_keys:
             if not ids.get(key):
                 continue
-            acc, f1, auc, frame = M.classification_scores(outputs, ids[key], y)
             level = "wsi" if key == "WSI" else "case"
+            acc, f1, auc, frames[level] = M.classification_scores(
+                outputs, ids[key], y
+            )
             metrics.update(
                 {f"{level}_acc": acc, f"{level}_f1": f1, f"{level}_auc": auc}
             )
@@ -333,6 +346,9 @@ def evaluate(
     if writer is not None:
         for k, v in metrics.items():
             writer.scalar(f"{split}/{k}", v, epoch)
+    default_level = {"survival_prediction": "wsi", "classification": "wsi"}
+    want = frame_level or default_level.get(settings.task, "case")
+    frame = frames.get(want, next(iter(frames.values()), None))
     return val_loss, frame, metrics
 
 

@@ -56,13 +56,88 @@ _STUB_FILES = {
         "from multimodalbrainsurvival_tpu.ops.metrics import "
         "concordance_index\n"
     ),
+    # sksurv stub: the reference indexes [0] of the returned tuple
+    # (2_HistoPath_train.py:271-272)
+    "sksurv/__init__.py": "from . import metrics\n",
+    "sksurv/metrics.py": (
+        "from multimodalbrainsurvival_tpu.ops.metrics import "
+        "concordance_index_censored as _ci\n"
+        "def concordance_index_censored(events, times, risks,"
+        " tied_tol=1e-8):\n"
+        "    return (_ci(events, times, risks, tied_tol),"
+        " None, None, None, None)\n"
+    ),
     "torchvision/__init__.py": (
         "__version__ = '0.0-stub'\n"
         "from . import datasets, models, transforms, utils\n"
     ),
     "torchvision/datasets.py": "",
     "torchvision/models.py": "",
-    "torchvision/transforms.py": "",
+    # FUNCTIONAL transforms, deterministic by construction: ToTensor and
+    # Normalize match torchvision's math exactly; Resize is exact when the
+    # stored patches already have the target size (golden cohorts are
+    # generated at img_size, sidestepping PIL-vs-cv2 resample differences);
+    # the random augmentations (flips, ColorJitter) are identity — the
+    # golden runs disable augmentation on our side too (`augment: false`)
+    "torchvision/transforms.py": """
+import numpy as np
+import torch
+
+
+class Compose:
+    def __init__(self, ts):
+        self.ts = ts
+
+    def __call__(self, x):
+        for t in self.ts:
+            x = t(x)
+        return x
+
+
+class Resize:
+    def __init__(self, size, *a, **k):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, img):
+        if (img.size[1], img.size[0]) == self.size:
+            return img
+        return img.resize((self.size[1], self.size[0]))
+
+
+class RandomHorizontalFlip:  # identity: deterministic golden-run stub
+    def __init__(self, p=0.5):
+        pass
+
+    def __call__(self, img):
+        return img
+
+
+class RandomVerticalFlip(RandomHorizontalFlip):
+    pass
+
+
+class ColorJitter:  # identity: deterministic golden-run stub
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, img):
+        return img
+
+
+class ToTensor:
+    def __call__(self, img):
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+
+class Normalize:
+    def __init__(self, mean, std):
+        self.mean = torch.tensor(mean).view(-1, 1, 1)
+        self.std = torch.tensor(std).view(-1, 1, 1)
+
+    def __call__(self, t):
+        return (t - self.mean) / self.std
+""",
     "torchvision/utils.py": "__all__ = []\n",
 }
 
@@ -126,12 +201,13 @@ def _epoch_losses(out: str, tag: str) -> list[float]:
             for m in re.finditer(rf"{tag} Loss: ([-\d.]+)", out)]
 
 
-def _ci_lines(out: str, limit: int | None = None) -> list[tuple[str, float]]:
-    """(mode, CI) sequence of the per-epoch eval prints, both stacks emit
-    the identical `"{mode} case  | epoch {e} | CI {ci:.3f}"` format."""
-    got = [(m.group(1), float(m.group(2)))
-           for m in re.finditer(r"(\w+) case\s+\| epoch [-\d]+ \| CI ([\d.]+)",
-                                out)]
+def _ci_lines(out: str, limit: int | None = None) -> list[tuple[str, str, float]]:
+    """(mode, kind, CI) sequence of the per-epoch eval prints; both stacks
+    emit the identical `"{mode} {wsi|case}  | epoch {e} | CI {ci:.3f}"`
+    format (the histo pipeline prints a wsi-level AND a case-level line)."""
+    got = [(m.group(1), m.group(2), float(m.group(3)))
+           for m in re.finditer(
+               r"(\w+) (wsi|case)\s+\| epoch [-\d]+ \| CI ([\d.]+)", out)]
     return got[:limit] if limit is not None else got
 
 
@@ -153,13 +229,35 @@ def _best_epoch(out: str) -> int:
     return int(m.group(1))
 
 
+def _import_ref_module(tmp_path, path: str, name: str):
+    """Import a reference module under a UNIQUE name with the dependency
+    stubs on sys.path (and scrub the stub modules from sys.modules after, so
+    later tests that probe for the real packages don't find stand-ins)."""
+    import importlib.util
+
+    stubs = tmp_path / "stubs"
+    for rel, body in _STUB_FILES.items():
+        p = stubs / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(body)
+    sys.path.insert(0, str(stubs))
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(stubs))
+        for m in [m for m in sys.modules
+                  if m.startswith(("torchvision", "sksurv", "lifelines"))]:
+            del sys.modules[m]
+    return mod
+
+
 # --- RNA pipeline -----------------------------------------------------------
 
 
 def test_rna_pipeline_golden_run_matches_reference(tmp_path, capsys):
     torch = pytest.importorskip("torch")
-    import importlib.util
-
     import jax
 
     from multimodalbrainsurvival_tpu.models.convert import (
@@ -181,24 +279,9 @@ def test_rna_pipeline_golden_run_matches_reference(tmp_path, capsys):
         assert frames[split]["vital_status"].sum() >= 2
 
     # identical init: a seeded torch state dict restored by BOTH stacks
-    spec = importlib.util.spec_from_file_location(
-        "ref_rna_models_golden", os.path.join(ref_dir, "models.py")
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_rna_models_golden"
     )
-    stubs_added = str(tmp_path / "stubs")
-    for rel, body in _STUB_FILES.items():
-        p = tmp_path / "stubs" / rel
-        p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(body)
-    sys.path.insert(0, stubs_added)
-    try:
-        ref_models = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(ref_models)
-    finally:
-        sys.path.remove(stubs_added)
-        # drop the in-process torchvision stub so later tests that probe for
-        # a REAL torchvision (importorskip) don't find the empty stand-in
-        for mod in [m for m in sys.modules if m.startswith("torchvision")]:
-            del sys.modules[mod]
     import torch.nn as nn
 
     torch.manual_seed(42)
@@ -409,3 +492,159 @@ def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
             got.sort_index().to_numpy(), want.sort_index().to_numpy(),
             rtol=1e-3, atol=2e-4, err_msg=f"val scores ({tag})",
         )
+
+
+# --- HistoPathology (flagship) pipeline -------------------------------------
+
+
+def test_histo_pipeline_golden_run_matches_reference(tmp_path, capsys):
+    """The FLAGSHIP driver (`2_HistoPath_train.py`) executed end-to-end as
+    the oracle: PNG decode → Resize/ToTensor/Normalize → ResNet-50 MIL →
+    Cox → Adam → best-checkpoint → the six `*_output_{last,best}.csv`
+    frames, compared against our histo CLI from converted-identical init.
+
+    Determinism: augmentation off on BOTH sides (stubbed flips/jitter are
+    identity; our `augment: false`), patches stored at img_size so Resize
+    is exact, one bag per slide so the per-epoch in-slide shuffle cannot
+    change bag composition (forward/loss are order-invariant within a bag),
+    and full-batch training. BatchNorm runs in its normal train mode on
+    both sides — batch statistics are permutation-invariant."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_mil_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+    from tests.helpers import make_patch_dir
+
+    ref_dir = os.path.join(REFERENCE_DIR, "1_HistoPathology")
+    # img MUST be 224: the reference ResNet fork hardcodes AvgPool2d(7)
+    # (resnet.py:143), so sub-224 inputs crash it ("output size too small").
+    # The cohort is minimal to keep torch-CPU resnet50 tractable: 2 train
+    # slides x 2 patches (one bag each), 2 val/test slides (so the C-index
+    # has an admissible pair).
+    img, bag = 224, 2
+
+    root = tmp_path / "patches"
+    wsis = [f"W{i}" for i in range(5)]
+    for i, w in enumerate(wsis):
+        make_patch_dir(str(root), w, bag, img_size=img, seed=20 + i)
+
+    def cohort_csv(name, cases, wsi_idx, seed):
+        df = make_survival_csv(
+            str(tmp_path / name), cases,
+            wsi_names=[f"{wsis[i]}.svs" for i in wsi_idx], seed=seed,
+        )
+        # the reference train loop reads survival_bin unconditionally
+        # (2_HistoPath_train.py:313, SURVEY §2.4)
+        df["survival_bin"] = np.arange(len(df)) % 4
+        df.to_csv(str(tmp_path / name), index=False)
+        return df
+
+    cohort_csv("ffpe_train.csv", ["c0", "c1"], [0, 1], 5)
+    cohort_csv("ffpe_val.csv", ["c2", "c3"], [2, 3], 6)
+    cohort_csv("ffpe_test.csv", ["c2", "c3"], [4, 2], 7)
+
+    # identical init: seeded torch AggregationModel state dict
+    ref_resnet = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "resnet.py"), "ref_histo_resnet_golden"
+    )
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_histo_models_golden"
+    )
+    torch.manual_seed(7)
+    ref_model = ref_models.AggregationModel(
+        resnet=ref_resnet.resnet50(pretrained=False),
+        aggregator=ref_models.Identity(),
+        aggregator_dim=2048, resnet_dim=2048, out_features=1,
+    )
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+
+    common = {
+        "num_classes": 1, "batch_size": 2, "use_cuda": False,
+        "data_path": str(root),
+        "train_csv_path": str(tmp_path / "ffpe_train.csv"),
+        "val_csv_path": str(tmp_path / "ffpe_val.csv"),
+        "test_csv_path": str(tmp_path / "ffpe_test.csv"),
+        "num_workers": 0, "num_epochs": 3, "img_size": img,
+        "lr": 1e-4, "weight_decay": 1e-4, "pretrained": False,
+        "train_bag_size": bag, "val_bag_size": bag,
+        "aggregator": "identity", "aggregator_hdim": 2048,
+        "task": "survival_prediction", "target_label": "vital_status",
+        "n_layers_to_train": 6, "flag": "golden",
+        "max_patch_per_wsi_train": bag, "max_patch_per_wsi_val": bag,
+        "model_path": "",
+    }
+
+    ref_out = _run_reference_driver(
+        tmp_path,
+        os.path.join(ref_dir, "2_HistoPath_train.py"),
+        dict(common, restore_path=str(init_pt),
+             checkpoint_path=str(tmp_path / "ref_out") + "/",
+             summary_path=str(tmp_path / "ref_out/summary") + "/"),
+    )
+    ref_save = tmp_path / "ref_out/models/golden"
+    assert (ref_save / "model_last.pt").is_file()
+
+    converted = jax.tree.map(
+        np.asarray, torch_mil_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    from multimodalbrainsurvival_tpu.cli import histo_train
+
+    cfg2 = dict(common, model_name="resnet50", augment=False,
+                restore_path=init_ours,
+                checkpoint_path=str(tmp_path / "our_out") + "/",
+                summary_path=str(tmp_path / "our_out/summary") + "/")
+    p2 = tmp_path / "our_cfg.json"
+    p2.write_text(json.dumps(cfg2))
+    histo_train.main(["--config", str(p2)])
+    our_out = capsys.readouterr().out
+
+    # per-epoch eval-loss traces: the histo driver's 'TRAIN Loss'/'VAL Loss'
+    # lines come from evaluate(), printed by both stacks under those names
+    for tag in ("TRAIN", "VAL"):
+        ref_losses = _epoch_losses(ref_out, tag)
+        assert len(ref_losses) == 3
+        np.testing.assert_allclose(
+            _epoch_losses(our_out, tag)[:3], ref_losses, atol=2e-3,
+            err_msg=tag,
+        )
+
+    # per-epoch wsi- AND case-level CI traces (4 lines per epoch)
+    assert _ci_lines(our_out, 12) == _ci_lines(ref_out, 12)
+    # histo quirk preserved: best only from epoch > 0 (:378)
+    assert _best_epoch(our_out) == _best_epoch(ref_out) > 0
+
+    # weights AND BatchNorm running stats, last + best
+    ours_ck = Checkpointer()
+    for name, pt in (("model_last", "model_last.pt"),
+                     ("model_dict_best", "model_dict_best.pt")):
+        want = torch_mil_to_flax(load_torch_state_dict(str(ref_save / pt)))
+        got = ours_ck.restore(
+            str(tmp_path / "our_out/models/golden" / name),
+            jax.tree.map(np.asarray, want),
+        )
+        _assert_tree_close(got["params"], want["params"],
+                           rtol=2e-3, atol=5e-4, ctx=name)
+        _assert_tree_close(got["batch_stats"], want["batch_stats"],
+                           rtol=2e-3, atol=5e-4, ctx=name + ".batch_stats")
+
+    # the six score frames the reference writes are compared file-to-file
+    for split in ("train", "val", "test"):
+        for tag in ("last", "best"):
+            f = f"{split}_output_{tag}.csv"
+            ref_frame = pd.read_csv(tmp_path / "ref_out/outputs/golden" / f)
+            our_frame = pd.read_csv(tmp_path / "our_out/outputs/golden" / f)
+            ref_s = ref_frame.set_index("id")["score"].sort_index()
+            our_s = our_frame.set_index("id")["score"].sort_index()
+            assert list(ref_s.index) == list(our_s.index), f
+            np.testing.assert_allclose(
+                our_s.to_numpy(), ref_s.to_numpy(), rtol=1e-3, atol=2e-4,
+                err_msg=f,
+            )

@@ -190,3 +190,31 @@ def test_histo_train_with_mesh_sharded_device_cache(histo_experiment):
         tmp_path / "out/outputs/ffpe_cached_mesh/val_output_last.csv"
     )
     assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+
+def test_cache_budget_config_key(histo_experiment):
+    """`cache_max_bytes_per_device` drives the cache fit check: a tiny
+    budget falls back to the host loader instead of caching."""
+    import io
+    from contextlib import redirect_stdout
+
+    from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.data import PatchBagDataset
+    from multimodalbrainsurvival_tpu.data.device_cache import (
+        DeviceCachedPatchBags,
+    )
+
+    _, cfg, _ = histo_experiment
+    cfg2 = dict(cfg, cache_patches_on_device=True,
+                cache_max_bytes_per_device=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ds = build_datasets(Config(cfg2), quick=False)
+    assert isinstance(ds["train"], PatchBagDataset)
+    assert "falling back to the host loader" in buf.getvalue()
+
+    cfg3 = dict(cfg, cache_patches_on_device=True,
+                cache_max_bytes_per_device=1 << 30)
+    ds = build_datasets(Config(cfg3), quick=False)
+    assert isinstance(ds["train"], DeviceCachedPatchBags)

@@ -43,9 +43,17 @@ JOINT_LADDER = ("resnet/fc", "resnet/layer4", "resnet/layer3",
 def build_joint_model(config, fold_bn: bool = False) -> BagHistopathologyRNAModel:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype, fold_bn=fold_bn)
+    # `dropout` (TPU-native extension) overrides BOTH hardcoded reference
+    # rates — the RNA encoder's 0.5 and the fusion head's 0.8
+    # (1_JointFusion_train.py:314-323) — e.g. 0 for deterministic golden runs
+    p = config.get("dropout", None)
     return BagHistopathologyRNAModel(
         resnet=resnet,
-        rna_encoder=RNAEncoder(hidden_dims=(4096, 2048), dtype=dtype),
+        rna_encoder=RNAEncoder(
+            hidden_dims=(4096, 2048), dtype=dtype,
+            dropout=0.5 if p is None else float(p),
+        ),
+        head_dropout=0.8 if p is None else float(p),
         out_features=config.num_classes,
     )
 
@@ -119,6 +127,9 @@ def main(argv=None):
     adapter = JointAdapter(
         model=model,
         loader_kwargs={"num_threads": int(config.get("num_workers", 8)) or 1},
+        # `augment: false` turns off the train-time flips + color jitter
+        # (deterministic runs; same knob as the histo CLI)
+        augment=bool(config.get("augment", True)),
     )
     settings = TrainSettings(
         num_epochs=config.num_epochs,

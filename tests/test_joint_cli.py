@@ -75,3 +75,45 @@ def test_joint_cli_end_to_end(joint_experiment):
     assert score_files, "joint savescore wrote no val score frame"
     sf = pd.read_csv(score_files[0])
     assert np.isfinite(sf.select_dtypes("number")).all().all()
+
+
+def test_joint_train_with_mesh_sharded_device_cache(joint_experiment):
+    """Joint CLI with cache_patches_on_device + mesh: the bimodal pipeline
+    trains end-to-end from the mesh-sharded patch cache (same wiring as the
+    histo CLI, exercised through build_joint_datasets)."""
+    import jax
+
+    tmp_path, cfg, _ = joint_experiment
+    cfg2 = dict(cfg)
+    cfg2["cache_patches_on_device"] = True
+    cfg2["mesh"] = {"dp": 8}
+    cfg2["flag"] = "joint_cached_mesh"
+    cfg2["num_epochs"] = 1
+    cfg2["batch_size"] = 8
+    p = tmp_path / "cfg_joint_cached_mesh.json"
+    p.write_text(json.dumps(cfg2))
+    from multimodalbrainsurvival_tpu.cli import joint_train
+    from multimodalbrainsurvival_tpu.data.device_cache import (
+        DeviceCachedPatchBags,
+    )
+
+    built = {}
+    orig = DeviceCachedPatchBags.__init__
+
+    def spy(self, base, mesh=None, **kw):
+        orig(self, base, mesh=mesh, **kw)
+        built["shards"] = len(self._cache.sharding.device_set)
+        built["has_rna"] = self._rna is not None
+
+    DeviceCachedPatchBags.__init__ = spy
+    try:
+        joint_train.main(["--config", str(p)])
+    finally:
+        DeviceCachedPatchBags.__init__ = orig
+
+    assert built["shards"] == len(jax.devices()) == 8
+    assert built["has_rna"]  # the joint cache carries the RNA table on device
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/joint_cached_mesh/val_output_last.csv"
+    )
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()

@@ -1,0 +1,448 @@
+"""Cross-stack golden runs of the reference's INFERENCE drivers.
+
+The six training-free entry points — `2_GeneExpress_savescore.py`,
+`3_GeneExpress_extractfeatures.py`, `3_HistoPath_savescore.py`,
+`4_HistoPath_extractfeatures.py`, `3_EarlyFusion_savescore.py`,
+`2_JointFusion_savescore.py` — executed end-to-end as subprocess oracles and
+compared against our savescore / extractfeatures CLIs loading the SAME
+(converted) checkpoint. Eval mode is deterministic on both stacks (dropout
+inactive, BatchNorm running stats, no optimizer), so unlike the training
+golden runs (tests/test_golden_crossstack.py) there is no Adam-sign-flip
+drift: score frames and feature matrices pin at pure cross-stack forward
+tolerance.
+
+Alignment notes:
+- the reference extractfeatures drivers iterate ``set(case_list)``
+  (4_HistoPath_extractfeatures.py:82, 3_GeneExpress_extractfeatures.py:75),
+  so their cases-CSV row order is hash-seed dependent; features are compared
+  as case→row mappings, not positionally;
+- the savescore frames are keyed by ``ids_unique = sorted(set(ids))``
+  (2_GeneExpress_savescore.py:100) on both stacks → compared positionally;
+- score ORDERING is additionally pinned by recomputing the C-index from both
+  frames with the same native function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.helpers import make_patch_dir, make_survival_csv
+from tests.test_golden_crossstack import (
+    REFERENCE_DIR,
+    _import_ref_module,
+    _run_reference_driver,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference repo not mounted"
+)
+
+
+def _all_events_csv(path, cases, **kw):
+    """Survival CSV with every subject an event: guarantees admissible
+    C-index pairs in every split for BOTH stacks' in-driver CI prints."""
+    df = make_survival_csv(path, cases, **kw)
+    df["vital_status"] = 1
+    df.to_csv(path, index=False)
+    return df
+
+
+def _run_ours(main, cfg, tmp_path, name):
+    p = tmp_path / name
+    p.write_text(json.dumps(cfg))
+    main(["--config", str(p)])
+
+
+def _compare_score_frames(ref_csv, our_csv, rtol, atol):
+    ref = pd.read_csv(ref_csv).set_index("id").sort_index()
+    our = pd.read_csv(our_csv).set_index("id").sort_index()
+    assert list(ref.index) == list(our.index), ref_csv
+    np.testing.assert_allclose(
+        our["score"].to_numpy(), ref["score"].to_numpy(),
+        rtol=rtol, atol=atol, err_msg=os.path.basename(str(ref_csv)),
+    )
+    np.testing.assert_allclose(
+        our["survival_months"].to_numpy(), ref["survival_months"].to_numpy(),
+        rtol=1e-6, err_msg=f"{ref_csv}: survival_months",
+    )
+    # same ranking ⇒ same C-index under the same native function
+    from multimodalbrainsurvival_tpu.ops.metrics import concordance_index
+
+    ci = [
+        concordance_index(f["survival_months"].to_numpy(),
+                          -f["score"].to_numpy(),
+                          f["vital_status"].to_numpy())
+        for f in (ref, our)
+    ]
+    assert ci[0] == ci[1], (ref_csv, ci)
+
+
+def _compare_feature_maps(ref_cases_csv, ref_feats_csv, our_cases_csv,
+                          our_feats_csv, rtol, atol):
+    """Case→feature-row comparison, order-free (the reference's row order is
+    `set` iteration order, which varies with the subprocess hash seed)."""
+    def load(cases_csv, feats_csv):
+        cases = pd.read_csv(cases_csv, index_col=0)["0"].tolist()
+        feats = np.loadtxt(feats_csv, delimiter=",", ndmin=2)
+        assert len(cases) == feats.shape[0], cases_csv
+        return dict(zip(cases, feats))
+
+    ref, our = load(ref_cases_csv, ref_feats_csv), load(our_cases_csv,
+                                                        our_feats_csv)
+    assert sorted(ref) == sorted(our), ref_cases_csv
+    for case in sorted(ref):
+        np.testing.assert_allclose(
+            our[case], ref[case], rtol=rtol, atol=atol,
+            err_msg=f"{os.path.basename(str(ref_feats_csv))}: {case}",
+        )
+
+
+# --- RNA pipeline: savescore + extractfeatures ------------------------------
+
+
+def test_rna_inference_golden_runs_match_reference(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_rna_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    ref_dir = os.path.join(REFERENCE_DIR, "2_GeneExpression")
+    for split, n, seed in (("train", 8, 1), ("val", 6, 2), ("test", 6, 3)):
+        _all_events_csv(str(tmp_path / f"rna_{split}.csv"),
+                        [f"{split}{i}" for i in range(n)],
+                        n_rna=12778, seed=seed)
+
+    # seeded checkpoint restored by BOTH stacks (2_GeneExpress_savescore.py
+    # :136-150 rebuilds this exact architecture before load_state_dict)
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_rna_models_inf"
+    )
+    torch.manual_seed(11)
+    ref_model = ref_models.RNAOnlyModel(
+        nn.Sequential(nn.Dropout(), nn.Linear(12778, 4096), nn.ReLU(),
+                      nn.Dropout(), nn.Linear(4096, 2048)),
+        nn.Sequential(nn.Linear(2048, 1)),
+    )
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+    converted = jax.tree.map(
+        np.asarray, torch_rna_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    csvs = {f"{s}_csv_path": str(tmp_path / f"rna_{s}.csv")
+            for s in ("train", "val", "test")}
+    common = dict(csvs, batch_size=8, flag="golden", num_workers=0,
+                  use_cuda=False)
+
+    ref_out, our_out = tmp_path / "ref_out", tmp_path / "our_out"
+    ref_out.mkdir(), our_out.mkdir()
+
+    from multimodalbrainsurvival_tpu.cli import rna_extractfeatures, rna_savescore
+
+    # savescore: per-case frames rna_<split>_df.csv (:186-190)
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "2_GeneExpress_savescore.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+    _run_ours(rna_savescore.main,
+              dict(common, model_path=init_ours, output_path=str(our_out)),
+              tmp_path, "our_save.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_score_frames(ref_out / f"rna_{split}_df.csv",
+                              our_out / f"rna_{split}_df.csv",
+                              rtol=1e-4, atol=1e-6)
+
+    # extractfeatures: per-case 2048-d embedding means (:73-81, :136-149)
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "3_GeneExpress_extractfeatures.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+    _run_ours(rna_extractfeatures.main,
+              dict(common, model_path=init_ours, output_path=str(our_out)),
+              tmp_path, "our_extract.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_feature_maps(
+            ref_out / f"rna_cases_{split}.csv",
+            ref_out / f"rna_features_{split}.csv",
+            our_out / f"rna_cases_{split}.csv",
+            our_out / f"rna_features_{split}.csv",
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+# --- EarlyFusion savescore ---------------------------------------------------
+
+
+def test_earlyfusion_savescore_golden_run_matches_reference(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_feature_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    ref_dir = os.path.join(REFERENCE_DIR, "3_EarlyFusion")
+    for split, n, seed in (("train", 8, 1), ("val", 6, 2), ("test", 6, 3)):
+        _all_events_csv(str(tmp_path / f"feat_{split}.csv"),
+                        [f"{split}{i}" for i in range(n)],
+                        n_feature=4096, seed=seed)
+
+    # the savescore driver rebuilds the 4096→2048→200→1 MLP
+    # (3_EarlyFusion_savescore.py:137-151) before load_state_dict
+    torch.manual_seed(13)
+    ref_model = nn.Sequential(
+        nn.Dropout(), nn.Linear(4096, 2048), nn.ReLU(), nn.Dropout(),
+        nn.Linear(2048, 200), nn.ReLU(), nn.Dropout(), nn.Linear(200, 1),
+    )
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+    converted = jax.tree.map(
+        np.asarray, torch_feature_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    csvs = {f"{s}_csv_path": str(tmp_path / f"feat_{s}.csv")
+            for s in ("train", "val", "test")}
+    common = dict(csvs, batch_size=8, flag="golden", num_workers=0,
+                  use_cuda=False)
+
+    ref_out, our_out = tmp_path / "ref_out", tmp_path / "our_out"
+    ref_out.mkdir(), our_out.mkdir()
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "3_EarlyFusion_savescore.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+
+    from multimodalbrainsurvival_tpu.cli import feature_savescore
+
+    _run_ours(feature_savescore.main,
+              dict(common, model_path=init_ours, output_path=str(our_out)),
+              tmp_path, "our_save.json")
+    capsys.readouterr()
+    # frame name is prefixed with the checkpoint file's basename (:183-185)
+    for split in ("train", "val", "test"):
+        _compare_score_frames(
+            ref_out / f"init.pt_feature_{split}_df.csv",
+            our_out / f"init_flax_feature_{split}_df.csv",
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+# --- HistoPathology: savescore + extractfeatures ----------------------------
+
+
+def test_histo_inference_golden_runs_match_reference(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_mil_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    ref_dir = os.path.join(REFERENCE_DIR, "1_HistoPathology")
+    img, bag = 224, 2  # 224: the ref fork hardcodes AvgPool2d(7)
+
+    root = tmp_path / "patches"
+    wsis = [f"S{i}" for i in range(5)]
+    for i, w in enumerate(wsis):
+        make_patch_dir(str(root), w, bag, img_size=img, seed=40 + i)
+
+    def cohort(name, cases, wsi_idx, seed):
+        df = _all_events_csv(str(tmp_path / name), cases,
+                             wsi_names=[f"{wsis[i]}.svs" for i in wsi_idx],
+                             seed=seed)
+        # the savescore evaluate reads survival_bin unconditionally
+        # (3_HistoPath_savescore.py:75, same quirk as the train driver —
+        # SURVEY §2.4), even for the Cox task
+        df["survival_bin"] = np.arange(len(df)) % 4
+        df.to_csv(str(tmp_path / name), index=False)
+
+    cohort("ffpe_train.csv", ["c0", "c1"], [0, 1], 5)
+    cohort("ffpe_val.csv", ["c2", "c3"], [2, 3], 6)
+    cohort("ffpe_test.csv", ["c2", "c3"], [4, 2], 7)
+
+    ref_resnet = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "resnet.py"), "ref_histo_resnet_inf"
+    )
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_histo_models_inf"
+    )
+    torch.manual_seed(17)
+    ref_model = ref_models.AggregationModel(
+        resnet=ref_resnet.resnet50(pretrained=False),
+        aggregator=ref_models.Identity(),
+        aggregator_dim=2048, resnet_dim=2048, out_features=1,
+    )
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+    converted = jax.tree.map(
+        np.asarray, torch_mil_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    common = {
+        "num_classes": 1, "batch_size": 2, "use_cuda": False,
+        "data_path": str(root),
+        "train_csv_path": str(tmp_path / "ffpe_train.csv"),
+        "val_csv_path": str(tmp_path / "ffpe_val.csv"),
+        "test_csv_path": str(tmp_path / "ffpe_test.csv"),
+        "num_workers": 0, "img_size": img, "pretrained": False,
+        "train_bag_size": bag, "val_bag_size": bag,
+        "aggregator": "identity", "aggregator_hdim": 2048,
+        "task": "survival_prediction", "target_label": "vital_status",
+        "flag": "golden",
+        "max_patch_per_wsi_train": bag, "max_patch_per_wsi_val": bag,
+    }
+    ours_extra = {"model_name": "resnet50", "augment": False}
+
+    ref_out, our_out = tmp_path / "ref_out", tmp_path / "our_out"
+    ref_out.mkdir(), our_out.mkdir()
+
+    from multimodalbrainsurvival_tpu.cli import (
+        histo_extractfeatures,
+        histo_savescore,
+    )
+
+    # savescore: case-level frames <ckpt>_pathology_<split>_df.csv (:344-349)
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "3_HistoPath_savescore.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+    _run_ours(histo_savescore.main,
+              dict(common, **ours_extra, model_path=init_ours,
+                   output_path=str(our_out)),
+              tmp_path, "our_save.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_score_frames(
+            ref_out / f"init.pt_pathology_{split}_df.csv",
+            our_out / f"init_flax_pathology_{split}_df.csv",
+            rtol=1e-3, atol=1e-5,
+        )
+
+    # extractfeatures: per-case mean of the post-aggregator bag embedding
+    # (:51-89); every split uses val transforms + val_bag_size (:146-159)
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "4_HistoPath_extractfeatures.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+    _run_ours(histo_extractfeatures.main,
+              dict(common, **ours_extra, model_path=init_ours,
+                   output_path=str(our_out)),
+              tmp_path, "our_extract.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_feature_maps(
+            ref_out / f"pathology_cases_{split}.csv",
+            ref_out / f"pathology_features_{split}.csv",
+            our_out / f"pathology_cases_{split}.csv",
+            our_out / f"pathology_features_{split}.csv",
+            rtol=1e-3, atol=1e-5,
+        )
+
+
+# --- JointFusion savescore ---------------------------------------------------
+
+
+def test_joint_savescore_golden_run_matches_reference(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_joint_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    ref_dir = os.path.join(REFERENCE_DIR, "5_JointFusion")
+    img, bag = 224, 2
+    root = tmp_path / "patches"
+    wsis = [f"Q{i}" for i in range(5)]
+    for i, w in enumerate(wsis):
+        make_patch_dir(str(root), w, bag, img_size=img, seed=50 + i)
+
+    def cohort(name, cases, wsi_idx, seed):
+        # extension-LESS wsi names: the joint dataset uses wsi_file_name
+        # verbatim as the patch dir (5_JointFusion/datasets.py:42-51)
+        _all_events_csv(str(tmp_path / name), cases,
+                        wsi_names=[wsis[i] for i in wsi_idx],
+                        n_rna=12778, seed=seed)
+
+    cohort("joint_train.csv", ["c0", "c1"], [0, 1], 5)
+    cohort("joint_val.csv", ["c2", "c3"], [2, 3], 6)
+    cohort("joint_test.csv", ["c2", "c3"], [4, 2], 7)
+
+    ref_resnet = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "resnet.py"), "ref_joint_resnet_inf"
+    )
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_joint_models_inf"
+    )
+    torch.manual_seed(19)
+    ref_model = ref_models.BagHistopathologyRNAModel(
+        ref_resnet.resnet50(pretrained=False),
+        nn.Sequential(nn.Dropout(), nn.Linear(12778, 4096), nn.ReLU(),
+                      nn.Dropout(), nn.Linear(4096, 2048)),
+        nn.Sequential(nn.Dropout(0.8), nn.Linear(4096, 1)),
+    )
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+    converted = jax.tree.map(
+        np.asarray, torch_joint_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    common = {
+        "num_classes": 1, "num_epochs": 1, "batch_size": 2,
+        "use_cuda": False, "data_path": str(root),
+        "train_csv_path": str(tmp_path / "joint_train.csv"),
+        "val_csv_path": str(tmp_path / "joint_val.csv"),
+        "test_csv_path": str(tmp_path / "joint_test.csv"),
+        "num_workers": 0, "img_size": img, "pretrained": False,
+        "train_bag_size": bag, "val_bag_size": bag,
+        "aggregator": "identity", "aggregator_hdim": 2048,
+        "task": "survival_prediction", "target_label": "vital_status",
+        "flag": "golden",
+        "max_patch_per_wsi_train": bag, "max_patch_per_wsi_val": bag,
+    }
+
+    ref_out, our_out = tmp_path / "ref_out", tmp_path / "our_out"
+    ref_out.mkdir(), our_out.mkdir()
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "2_JointFusion_savescore.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+
+    from multimodalbrainsurvival_tpu.cli import joint_savescore
+
+    _run_ours(joint_savescore.main,
+              dict(common, model_name="resnet50", augment=False,
+                   model_path=init_ours, output_path=str(our_out)),
+              tmp_path, "our_save.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_score_frames(
+            ref_out / f"init.pt_joint_{split}_df.csv",
+            our_out / f"init_flax_joint_{split}_df.csv",
+            rtol=1e-3, atol=1e-5,
+        )

@@ -360,6 +360,89 @@ def test_histo_inference_golden_runs_match_reference(tmp_path, capsys):
         )
 
 
+def test_histo_savescore_attention_aggregator_golden(tmp_path, capsys):
+    """TanhAttention end-to-end through the reference savescore driver: the
+    learned gated attention (`1_HistoPathology/models.py:22-33`, including
+    its rescale-by-bag-size quirk at :32) as part of a full driver run — the
+    other golden runs all use the identity aggregator. The attention vector
+    initializes to zeros (uniform weights ≡ identity), so the seeded init
+    randomizes it to pin the real attention math."""
+    torch = pytest.importorskip("torch")
+
+    from multimodalbrainsurvival_tpu.models.convert import (
+        load_torch_state_dict,
+        torch_mil_to_flax,
+    )
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    ref_dir = os.path.join(REFERENCE_DIR, "1_HistoPathology")
+    img, bag = 224, 2
+    root = tmp_path / "patches"
+    for i, w in enumerate(("A0", "A1")):
+        make_patch_dir(str(root), w, bag, img_size=img, seed=60 + i)
+    csv = str(tmp_path / "cohort.csv")
+    df = _all_events_csv(csv, ["c0", "c1"], wsi_names=["A0.svs", "A1.svs"],
+                         seed=8)
+    df["survival_bin"] = np.arange(len(df)) % 4  # read unconditionally (:75)
+    df.to_csv(csv, index=False)
+
+    ref_resnet = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "resnet.py"), "ref_histo_resnet_attn"
+    )
+    ref_models = _import_ref_module(
+        tmp_path, os.path.join(ref_dir, "models.py"), "ref_histo_models_attn"
+    )
+    torch.manual_seed(23)
+    ref_model = ref_models.AggregationModel(
+        resnet=ref_resnet.resnet50(pretrained=False),
+        aggregator=ref_models.TanhAttention(dim=2048),
+        aggregator_dim=2048, resnet_dim=2048, out_features=1,
+    )
+    with torch.no_grad():
+        ref_model.aggregator.vector.data.normal_()
+    init_pt = tmp_path / "init.pt"
+    torch.save(ref_model.state_dict(), str(init_pt))
+    converted = jax.tree.map(
+        np.asarray, torch_mil_to_flax(load_torch_state_dict(str(init_pt)))
+    )
+    init_ours = str(tmp_path / "init_flax")
+    Checkpointer().save(init_ours, converted, block=True)
+
+    # one 2-case cohort reused for every split keeps the torch-CPU ResNet
+    # cost down; the three output frames then pin the same forward thrice
+    common = {
+        "num_classes": 1, "batch_size": 2, "use_cuda": False,
+        "data_path": str(root),
+        "train_csv_path": csv, "val_csv_path": csv, "test_csv_path": csv,
+        "num_workers": 0, "img_size": img, "pretrained": False,
+        "train_bag_size": bag, "val_bag_size": bag,
+        "aggregator": "attention", "aggregator_hdim": 2048,
+        "task": "survival_prediction", "target_label": "vital_status",
+        "flag": "golden",
+        "max_patch_per_wsi_train": bag, "max_patch_per_wsi_val": bag,
+    }
+    ref_out, our_out = tmp_path / "ref_out", tmp_path / "our_out"
+    ref_out.mkdir(), our_out.mkdir()
+    _run_reference_driver(
+        tmp_path, os.path.join(ref_dir, "3_HistoPath_savescore.py"),
+        dict(common, model_path=str(init_pt), output_path=str(ref_out) + "/"),
+    )
+
+    from multimodalbrainsurvival_tpu.cli import histo_savescore
+
+    _run_ours(histo_savescore.main,
+              dict(common, model_name="resnet50", augment=False,
+                   model_path=init_ours, output_path=str(our_out)),
+              tmp_path, "our_save.json")
+    capsys.readouterr()
+    for split in ("train", "val", "test"):
+        _compare_score_frames(
+            ref_out / f"init.pt_pathology_{split}_df.csv",
+            our_out / f"init_flax_pathology_{split}_df.csv",
+            rtol=1e-3, atol=1e-5,
+        )
+
+
 # --- JointFusion savescore ---------------------------------------------------
 
 

@@ -103,6 +103,54 @@ def _compare_feature_maps(ref_cases_csv, ref_feats_csv, our_cases_csv,
         )
 
 
+# --- MergeScores (late-fusion input prep) -----------------------------------
+
+
+def test_merge_scores_golden_run_matches_reference(tmp_path):
+    """`4_LateFusion/1_MergeScores.py` executed verbatim as the oracle (its
+    paths are hardcoded relative → run with cwd=tmp); our merge_scores CLI
+    must produce a byte-identical combined_scores.csv."""
+    import subprocess
+    import sys
+
+    sv = tmp_path / "savescore"
+    sv.mkdir()
+    # savescore-driver CSV layout: written index + id/score/... columns
+    rng = np.random.default_rng(21)
+    cases = [f"c{i}" for i in range(7)]
+    path_df = pd.DataFrame({
+        "id": cases[:6],
+        "score": rng.normal(size=6),
+        "survival_months": rng.uniform(1, 120, 6).round(4),
+        "vital_status": rng.integers(0, 2, 6),
+    })
+    rna_df = pd.DataFrame({
+        "id": cases[1:],
+        "score": rng.normal(size=6),
+        "survival_months": path_df["survival_months"].iloc[:6].to_numpy(),
+        "vital_status": path_df["vital_status"].iloc[:6].to_numpy(),
+    })
+    path_df.to_csv(sv / "ffpe_scores.csv")
+    rna_df.to_csv(sv / "rna_scores.csv")
+
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REFERENCE_DIR, "4_LateFusion/1_MergeScores.py")],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    from multimodalbrainsurvival_tpu.cli import merge_scores
+
+    out = tmp_path / "ours_combined.csv"
+    merge_scores.main([
+        "--pathology_scores", str(sv / "ffpe_scores.csv"),
+        "--rna_scores", str(sv / "rna_scores.csv"),
+        "--output", str(out),
+    ])
+    assert out.read_text() == (tmp_path / "combined_scores.csv").read_text()
+
+
 # --- RNA pipeline: savescore + extractfeatures ------------------------------
 
 

@@ -24,9 +24,11 @@ The reference fans out per-slide with ``multiprocessing.Pool``
 grid positions are pre-filtered against the low-res mask in one numpy gather
 (the reference checks one Python ``if`` per candidate).
 
-OpenSlide is optional: ``.svs`` pyramids use it when importable; plain images
-(PNG/TIFF/JPEG) fall back to a single-level in-memory pyramid so the tiler —
-and its tests — run without any C library.
+OpenSlide is optional: ``.svs`` pyramids use it when importable; otherwise
+the native lazy libtiff reader (``native/tiff_slide.cc``) serves tiled/
+stripped pyramids at any size, the eager PIL reader covers TIFFs libtiff
+can't parse, and plain images (PNG/JPEG) fall back to a single-level
+in-memory pyramid — so the tiler and its tests run without OpenSlide.
 """
 
 from __future__ import annotations
@@ -198,6 +200,34 @@ class PyramidTiffSlide:
         return out
 
 
+class NativeTiffSlide:
+    """Lazy pyramidal-TIFF reader via libtiff (``native/tiff_slide.cc``).
+
+    The production path for vendor-scale slides: Aperio ``.svs`` files are
+    tiled(-JPEG) pyramidal TIFFs, and this reader decodes ONLY the
+    tiles/strips a ``read_region`` touches — constant memory regardless of
+    slide size, unlike the eager PIL reader above. Same OpenSlide API subset
+    as :class:`PyramidTiffSlide` (level-0 coordinates for ``(x, y)``)."""
+
+    def __init__(self, path: str):
+        from multimodalbrainsurvival_tpu.utils.native_tiff import (
+            NativeSlideHandle,
+        )
+
+        self._h = NativeSlideHandle(path)
+        self.level_dimensions = self._h.level_dimensions
+        self.properties = PyramidTiffSlide._parse_aperio(self._h.description)
+
+    def read_region(self, xy, level, size):
+        x0, y0 = xy  # level-0 coordinates (openslide convention)
+        w, h = size  # level coordinates
+        ds_x = self.level_dimensions[0][0] / self.level_dimensions[level][0]
+        ds_y = self.level_dimensions[0][1] / self.level_dimensions[level][1]
+        return self._h.read_region_level(
+            level, int(x0 / ds_x), int(y0 / ds_y), w, h
+        )
+
+
 def open_slide(path: str):
     if path.lower().endswith((".svs", ".ndpi", ".mrxs", ".tiff", ".tif")):
         try:
@@ -206,6 +236,15 @@ def open_slide(path: str):
             return OpenSlide(path)
         except ImportError:
             pass
+        from multimodalbrainsurvival_tpu.utils import native_tiff
+
+        if native_tiff.available():
+            try:
+                slide = NativeTiffSlide(path)
+                if len(slide.level_dimensions) > 1:
+                    return slide  # lazy reads, any slide size
+            except OSError:
+                pass  # not a TIFF libtiff groks; try the PIL reader
         try:
             slide = PyramidTiffSlide(path)
             if len(slide.level_dimensions) > 1:

@@ -359,11 +359,19 @@ def _pyramid_slide(tmp_path, app_mag):
 
 
 def test_pyramid_tiff_slide_reader(tmp_path):
-    from multimodalbrainsurvival_tpu.data.tiler import PyramidTiffSlide, open_slide
+    from multimodalbrainsurvival_tpu.data.tiler import (
+        NativeTiffSlide,
+        PyramidTiffSlide,
+        open_slide,
+    )
+    from multimodalbrainsurvival_tpu.utils import native_tiff
 
     path, full = _pyramid_slide(tmp_path, app_mag=40)
     slide = open_slide(path)
-    assert isinstance(slide, PyramidTiffSlide)  # openslide absent here
+    # openslide absent here; the lazy libtiff reader is preferred when it
+    # builds, the eager PIL reader is the fallback — identical API either way
+    want = NativeTiffSlide if native_tiff.available() else PyramidTiffSlide
+    assert isinstance(slide, want)
     assert slide.level_dimensions == [(1024, 768), (256, 192)]
     assert slide.properties["aperio.AppMag"] == "40"
     # openslide read_region semantics: level-0 coords, level-local size

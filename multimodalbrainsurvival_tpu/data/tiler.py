@@ -34,6 +34,7 @@ in-memory pyramid — so the tiler and its tests run without OpenSlide.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
 from multiprocessing import Pool
 
@@ -207,7 +208,23 @@ class NativeTiffSlide:
     tiled(-JPEG) pyramidal TIFFs, and this reader decodes ONLY the
     tiles/strips a ``read_region`` touches — constant memory regardless of
     slide size, unlike the eager PIL reader above. Same OpenSlide API subset
-    as :class:`PyramidTiffSlide` (level-0 coordinates for ``(x, y)``)."""
+    as :class:`PyramidTiffSlide` (level-0 coordinates for ``(x, y)``).
+
+    Vendor-codec coverage beyond what libtiff decodes itself:
+
+    - **Aperio JPEG 2000 compression (33003 YCbCr / 33005 RGB)** — tiles
+      are bare J2K codestreams; they are pulled raw off the file and decoded
+      through Pillow's OpenJPEG binding, with the 33003 YCbCr→RGB transform
+      applied exactly as OpenSlide's aperio driver does (the codestreams
+      carry no MCT, so the components come back untransformed).
+    - **Associated images** — the stripped directories of a tiled slide
+      (thumbnail / label / macro) are exposed as
+      ``associated_images[name]`` PIL Images, OpenSlide-style, named by
+      their ImageDescription keywords per the Aperio convention.
+    """
+
+    _APERIO_J2K = (33003, 33005)
+    _TILE_CACHE = 16  # decoded-tile LRU per slide (J2K path)
 
     def __init__(self, path: str):
         from multimodalbrainsurvival_tpu.utils.native_tiff import (
@@ -217,15 +234,94 @@ class NativeTiffSlide:
         self._h = NativeSlideHandle(path)
         self.level_dimensions = self._h.level_dimensions
         self.properties = PyramidTiffSlide._parse_aperio(self._h.description)
+        self._level_info: dict[int, tuple[int, int, int]] = {}
+        self._tile_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._associated: dict | None = None
+
+    def _info(self, level: int) -> tuple[int, int, int]:
+        if level not in self._level_info:
+            self._level_info[level] = self._h.level_info(level)
+        return self._level_info[level]
+
+    def _decode_j2k_tile(self, level: int, tx: int, ty: int,
+                         compression: int) -> np.ndarray:
+        key = (level, tx, ty)
+        cached = self._tile_cache.get(key)
+        if cached is not None:
+            self._tile_cache.move_to_end(key)
+            return cached
+        import io
+
+        from PIL import Image
+
+        raw = self._h.read_raw_tile(level, tx, ty)
+        img = Image.open(io.BytesIO(raw))
+        if compression == 33003:
+            # Aperio 33003 stores YCbCr planes with no MCT signalled; the
+            # decoder hands the components back verbatim, so reinterpret +
+            # convert (same as OpenSlide's aperio vendor driver).
+            arr = np.asarray(img)
+            if arr.ndim == 3 and arr.shape[2] == 3:
+                img = Image.fromarray(arr, mode="YCbCr").convert("RGB")
+        arr = np.asarray(img.convert("RGB"))
+        self._tile_cache[key] = arr
+        if len(self._tile_cache) > self._TILE_CACHE:
+            self._tile_cache.popitem(last=False)
+        return arr
+
+    def _read_region_j2k(self, level, x, y, w, h, compression, tw, th):
+        out = np.zeros((h, w, 3), np.uint8)
+        img_w, img_h = self.level_dimensions[level]
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, img_w), min(y + h, img_h)
+        if x0 >= x1 or y0 >= y1:
+            return out
+        for ty in range((y0 // th) * th, y1, th):
+            for tx in range((x0 // tw) * tw, x1, tw):
+                tile = self._decode_j2k_tile(level, tx, ty, compression)
+                rx0, ry0 = max(x0, tx), max(y0, ty)
+                rx1 = min(x1, tx + tile.shape[1])
+                ry1 = min(y1, ty + tile.shape[0])
+                if rx0 >= rx1 or ry0 >= ry1:
+                    continue
+                out[ry0 - y:ry1 - y, rx0 - x:rx1 - x] = tile[
+                    ry0 - ty:ry1 - ty, rx0 - tx:rx1 - tx]
+        return out
 
     def read_region(self, xy, level, size):
         x0, y0 = xy  # level-0 coordinates (openslide convention)
         w, h = size  # level coordinates
         ds_x = self.level_dimensions[0][0] / self.level_dimensions[level][0]
         ds_y = self.level_dimensions[0][1] / self.level_dimensions[level][1]
-        return self._h.read_region_level(
-            level, int(x0 / ds_x), int(y0 / ds_y), w, h
-        )
+        x, y = int(x0 / ds_x), int(y0 / ds_y)
+        compression, tw, th = self._info(level)
+        if compression in self._APERIO_J2K and tw > 0:
+            return self._read_region_j2k(level, x, y, w, h, compression,
+                                         tw, th)
+        return self._h.read_region_level(level, x, y, w, h)
+
+    @property
+    def associated_images(self) -> dict:
+        """name → PIL Image, per the Aperio layout: the first stripped
+        directory is the thumbnail; later stripped dirs are named by the
+        'label' / 'macro' keyword in their ImageDescription."""
+        if self._associated is None:
+            from PIL import Image
+
+            out = {}
+            for i, (w, h, desc) in enumerate(self._h.associated()):
+                low = desc.lower()
+                if "label" in low:
+                    name = "label"
+                elif "macro" in low:
+                    name = "macro"
+                elif i == 0:
+                    name = "thumbnail"
+                else:
+                    name = f"associated_{i}"
+                out[name] = Image.fromarray(self._h.read_associated(i, w, h))
+            self._associated = out
+        return self._associated
 
 
 def open_slide(path: str):

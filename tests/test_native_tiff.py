@@ -108,6 +108,154 @@ def test_open_slide_prefers_native_reader_and_matches_pil(pyramid):
         )
 
 
+def _j2k_tiles(img: np.ndarray, tile: int) -> list[bytes]:
+    """Encode `img` as per-tile raw JPEG 2000 codestreams (row-major grid),
+    lossless, no MCT — the byte format inside Aperio 33003/33005 tiles."""
+    import io
+
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    out = []
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            block = np.zeros((tile, tile, 3), np.uint8)
+            sub = img[ty:ty + tile, tx:tx + tile]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            buf = io.BytesIO()
+            Image.fromarray(block).save(buf, format="JPEG2000",
+                                        no_jp2=True, mct=0)
+            out.append(buf.getvalue())
+    return out
+
+
+def test_aperio_j2k_33005_rgb_tiles_decode_exact(tmp_path):
+    """Compression 33005 (Aperio J2K, RGB components): raw tiles round-trip
+    losslessly through the Pillow/OpenJPEG escape hatch."""
+    from multimodalbrainsurvival_tpu.data.tiler import NativeTiffSlide
+
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 256, size=(160, 224, 3), dtype=np.uint8)
+    thumb = full[::4, ::4]
+    path = str(tmp_path / "j2k.svs")
+    b = native_tiff.SlideBuilder(path)
+    b.add_raw_tiled_dir(224, 160, 64, _j2k_tiles(full, 64), 33005,
+                        "Aperio Image Library\n224x160 | AppMag = 40|")
+    b.add_raw_tiled_dir(56, 40, 64, _j2k_tiles(thumb, 64), 33005)
+    b.close()
+    slide = NativeTiffSlide(path)
+    assert slide.level_dimensions == [(224, 160), (56, 40)]
+    assert slide.properties["aperio.AppMag"] == "40"
+    np.testing.assert_array_equal(
+        slide.read_region((30, 20), 0, (128, 96)), full[20:116, 30:158]
+    )
+    # crosses tile boundaries + image edge (zero pad beyond)
+    e = slide.read_region((192, 128), 0, (64, 64))
+    np.testing.assert_array_equal(e[:32, :32], full[128:160, 192:224])
+    assert not e[32:, :].any() and not e[:, 32:].any()
+    # downsampled level: level-0 coords in, level coords for size
+    np.testing.assert_array_equal(
+        slide.read_region((40, 16), 1, (20, 12)), thumb[4:16, 10:30]
+    )
+
+
+def test_aperio_j2k_33003_ycbcr_tiles_convert(tmp_path):
+    """Compression 33003 stores YCbCr planes with no MCT; the reader must
+    apply the YCbCr→RGB transform itself (OpenSlide aperio driver
+    behavior)."""
+    from PIL import Image
+
+    from multimodalbrainsurvival_tpu.data.tiler import NativeTiffSlide
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+    ycc = np.asarray(Image.fromarray(rgb).convert("YCbCr"))
+    # what a correct decode of the YCbCr planes converts back to
+    want = np.asarray(Image.fromarray(ycc, mode="YCbCr").convert("RGB"))
+    path = str(tmp_path / "ycc.svs")
+    b = native_tiff.SlideBuilder(path)
+    b.add_raw_tiled_dir(128, 128, 64, _j2k_tiles(ycc, 64), 33003,
+                        "Aperio|AppMag = 20|")
+    b.add_rgb_dir(rgb[::2, ::2], tile=64)
+    b.close()
+    slide = NativeTiffSlide(path)
+    np.testing.assert_array_equal(
+        slide.read_region((0, 0), 0, (128, 128)), want
+    )
+    np.testing.assert_array_equal(
+        slide.read_region((32, 48), 0, (80, 64)), want[48:112, 32:112]
+    )
+
+
+def test_associated_images_thumbnail_label_macro(tmp_path):
+    """Stripped directories of a tiled slide surface as OpenSlide-style
+    associated images, named by the Aperio description keywords."""
+    from multimodalbrainsurvival_tpu.data.tiler import NativeTiffSlide
+
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 256, size=(128, 192, 3), dtype=np.uint8)
+    thumb = full[::2, ::2]
+    label = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    macro = rng.integers(0, 256, size=(30, 60, 3), dtype=np.uint8)
+    path = str(tmp_path / "full.svs")
+    b = native_tiff.SlideBuilder(path)
+    b.add_rgb_dir(full, tile=64,
+                  description="Aperio Image Library\n192x128 | AppMag = 40|")
+    b.add_rgb_dir(thumb, tile=0)  # dir 1: thumbnail (no keyword)
+    b.add_rgb_dir(full[::2, ::2], tile=64)  # pyramid level 1
+    b.add_rgb_dir(label, tile=0, description="label 42x42")
+    b.add_rgb_dir(macro, tile=0, description="macro on slide")
+    b.close()
+    slide = NativeTiffSlide(path)
+    # stripped dirs are NOT levels
+    assert slide.level_dimensions == [(192, 128), (96, 64)]
+    assoc = slide.associated_images
+    assert set(assoc) == {"thumbnail", "label", "macro"}
+    np.testing.assert_array_equal(np.asarray(assoc["thumbnail"]), thumb)
+    np.testing.assert_array_equal(np.asarray(assoc["label"]), label)
+    np.testing.assert_array_equal(np.asarray(assoc["macro"]), macro)
+
+
+def test_tiler_artifacts_identical_j2k_vs_uncompressed(tmp_path):
+    """extract_patches produces byte-identical artifacts whether the same
+    pixels sit in Aperio-J2K (33005) tiles or uncompressed ones."""
+    import os
+
+    import cv2
+
+    from multimodalbrainsurvival_tpu.data.tiler import (
+        PyramidTiffSlide,
+        TileConfig,
+        extract_patches,
+    )
+    from tests.test_golden_tiler import _make_slide
+
+    _make_slide(str(tmp_path / "A.svs"), app_mag=20, seed=13)
+    pil = PyramidTiffSlide(str(tmp_path / "A.svs"))
+    b = native_tiff.SlideBuilder(str(tmp_path / "B.svs"))
+    for i, lvl in enumerate(pil._levels):
+        b.add_raw_tiled_dir(
+            lvl.shape[1], lvl.shape[0], 64, _j2k_tiles(lvl, 64), 33005,
+            "Aperio|AppMag = 20|" if i == 0 else "")
+    b.close()
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=6)
+    n_a = extract_patches(str(tmp_path / "A.svs"), str(tmp_path / "pa"),
+                          str(tmp_path / "ma"), cfg)
+    n_b = extract_patches(str(tmp_path / "B.svs"), str(tmp_path / "pb"),
+                          str(tmp_path / "mb"), cfg)
+    assert n_a == n_b > 0
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "ma/A/mask.npy"), np.load(tmp_path / "mb/B/mask.npy")
+    )
+    loc_a = (tmp_path / "pa/A/loc.txt").read_text().splitlines()
+    loc_b = (tmp_path / "pb/B/loc.txt").read_text().splitlines()
+    assert loc_a[2:] == loc_b[2:]
+    for i in range(n_a):
+        a = cv2.imread(os.path.join(tmp_path, "pa/A", f"A_patch_{i}.png"))
+        bb = cv2.imread(os.path.join(tmp_path, "pb/B", f"B_patch_{i}.png"))
+        np.testing.assert_array_equal(a, bb, err_msg=str(i))
+
+
 def test_tiling_artifacts_identical_tiled_vs_stripped_container(tmp_path):
     """extract_patches produces byte-identical artifacts whether the same
     pixels live in a tiled (native-read) or PIL-written stripped pyramid."""

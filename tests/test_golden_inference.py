@@ -151,6 +151,76 @@ def test_merge_scores_golden_run_matches_reference(tmp_path):
     assert out.read_text() == (tmp_path / "combined_scores.csv").read_text()
 
 
+# --- Concat2Features (early-fusion input prep) ------------------------------
+
+
+def test_concat_features_golden_run_matches_reference_shimmed(tmp_path):
+    """`3_EarlyFusion/1_Concat2Features.py` as the oracle. Verbatim it
+    crashes on its own output shape (the `columns[4:]` rename at :63 names
+    one column too few — SURVEY §2.4), which this test pins first; with
+    that single token shimmed to the intended `[3:]`, the script runs
+    end-to-end and our concat_features CLI must produce a byte-identical
+    features.csv (merge order, _x/_y suffixes, column names, CSV
+    formatting)."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(33)
+    ef = tmp_path / "extractfeatures"
+    ef.mkdir()
+    cases = [f"case{i}" for i in range(8)]
+    # per-modality case lists overlap on 6 cases (inner-join exercised);
+    # cases.csv files carry the extract drivers' single "0" column
+    pd.DataFrame({"0": cases[:7]}).to_csv(ef / "rna_cases.csv", index=False)
+    pd.DataFrame(rng.normal(size=(7, 5))).to_csv(
+        ef / "rna_features.csv", index=False, header=False)
+    pd.DataFrame({"0": cases[1:]}).to_csv(
+        ef / "pathology_cases.csv", index=False)
+    pd.DataFrame(rng.normal(size=(7, 5))).to_csv(
+        ef / "pathology_features.csv", index=False, header=False)
+    pd.DataFrame({
+        "case": cases,
+        "survival_months": rng.uniform(1, 120, 8).round(3),
+        "vital_status": rng.integers(0, 2, 8),
+        "extra_col": rng.normal(size=8),  # script must drop extras
+    }).to_csv(tmp_path / "patientinfo.csv", index=False)
+
+    script = os.path.join(REFERENCE_DIR, "3_EarlyFusion/1_Concat2Features.py")
+    # 1) the defect: verbatim execution crashes on the rename length
+    proc = subprocess.run([sys.executable, script], cwd=str(tmp_path),
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "Length mismatch" in proc.stderr
+
+    # 2) the golden run: one-token shim [4:] -> [3:] (the intended slice,
+    # per the shipped early_example.csv layout), everything else verbatim
+    src = open(script).read()
+    assert src.count("[4:]") == 1
+    shimmed = tmp_path / "concat_shimmed.py"
+    shimmed.write_text(src.replace("[4:]", "[3:]"))
+    proc = subprocess.run([sys.executable, str(shimmed)], cwd=str(tmp_path),
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    ref_csv = (tmp_path / "features.csv").read_text()
+    header = ref_csv.splitlines()[0].split(",")
+    assert header[:3] == ["case", "survival_months", "vital_status"]
+    assert header[3] == "feature_0_x" and header[-1] == "feature_4_y"
+    assert len(ref_csv.splitlines()) == 7  # 6 inner-joined cases + header
+
+    from multimodalbrainsurvival_tpu.cli import concat_features
+
+    out = tmp_path / "ours_features.csv"
+    concat_features.main([
+        "--rna_cases", str(ef / "rna_cases.csv"),
+        "--rna_features", str(ef / "rna_features.csv"),
+        "--pathology_cases", str(ef / "pathology_cases.csv"),
+        "--pathology_features", str(ef / "pathology_features.csv"),
+        "--patientinfo", str(tmp_path / "patientinfo.csv"),
+        "--output", str(out),
+    ])
+    assert out.read_text() == ref_csv
+
+
 # --- RNA pipeline: savescore + extractfeatures ------------------------------
 
 

@@ -20,6 +20,10 @@ comparisons ride along:
   host's single CPU core (the only hardware both stacks share here; a very
   soft denominator, reported for completeness, cached in
   ``.bench_baseline.json``).
+- ``int8_patches_per_sec``: the opt-in W8A8 serving mode (``quantize:
+  "int8"``, ``models/quantize.py``) measured the same way — reported
+  alongside (not as the headline) because it deviates from reference
+  numerics by int8 rounding (cosine > 0.999).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -39,7 +43,8 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
 def measure_tpu_patches_per_sec(batch_sizes=(128, 256, 512, 1024),
-                                iters=20) -> float:
+                                int8_batch_sizes=(256, 512),
+                                iters=20) -> tuple[float, float]:
     import jax
 
     from multimodalbrainsurvival_tpu.cli._common import enable_compile_cache
@@ -79,20 +84,53 @@ def measure_tpu_patches_per_sec(batch_sizes=(128, 256, 512, 1024),
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    # the opt-in int8 (W8A8) serving path (quantize: "int8";
+    # models/quantize.py) rides along: same loop structure, quantized encoder
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        float_extract_amax,
+        merge_amax,
+        quantize_resnet,
+        quantized_extract,
+    )
+
     rng = np.random.default_rng(0)
-    best = 0.0
-    for bs in batch_sizes:
-        x = jax.device_put(
-            rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
-        )
-        float(extract_n(variables, x, iters))  # compile + warm
-        t0 = time.perf_counter()
-        float(extract_n(variables, x, iters))
-        dt = time.perf_counter() - t0
-        rate = bs * iters / dt
-        print(f"# batch {bs}: {rate:.1f} patches/s", file=sys.stderr)
-        best = max(best, rate)
-    return best
+    f32v = {"params": jax.tree.map(
+        lambda t: jnp.asarray(t, jnp.float32), variables["params"])}
+    x_cal = rng.integers(0, 255, size=(32, 224, 224, 3), dtype=np.uint8)
+    amax = jax.device_get(jax.jit(
+        lambda v, u: float_extract_amax(
+            v, preprocess_patches(u, train=False, dtype=jnp.float32))[1]
+    )(f32v, x_cal))
+    qtree = jax.device_put(quantize_resnet(f32v, merge_amax([amax])))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def extract_int8_n(q, patches_u8, n):
+        def body(i, acc):
+            xi = patches_u8 ^ i.astype(jnp.uint8)
+            x = preprocess_patches(xi, train=False, dtype=jnp.float32)
+            feats = quantized_extract(q, x)
+            return acc + feats[0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def sweep(fn, arg0, sizes, tag):
+        best = 0.0
+        for bs in sizes:
+            x = jax.device_put(
+                rng.integers(0, 255, size=(bs, 224, 224, 3), dtype=np.uint8)
+            )
+            float(fn(arg0, x, iters))  # compile + warm
+            t0 = time.perf_counter()
+            float(fn(arg0, x, iters))
+            dt = time.perf_counter() - t0
+            rate = bs * iters / dt
+            print(f"# {tag} batch {bs}: {rate:.1f} patches/s", file=sys.stderr)
+            best = max(best, rate)
+        return best
+
+    best_bf16 = sweep(extract_n, variables, batch_sizes, "bf16")
+    best_int8 = sweep(extract_int8_n, qtree, int8_batch_sizes, "int8")
+    return best_bf16, best_int8
 
 
 def measure_reference_torch_cpu(batch=32, iters=4) -> float:
@@ -147,7 +185,7 @@ def _measure_with_watchdog(timeout_s: float = 1500.0):
 
     def work():
         try:
-            result["rate"] = measure_tpu_patches_per_sec()
+            result["rate"], result["int8"] = measure_tpu_patches_per_sec()
         except Exception as e:  # noqa: BLE001
             result["error"] = repr(e)
 
@@ -156,13 +194,14 @@ def _measure_with_watchdog(timeout_s: float = 1500.0):
     t.join(timeout=timeout_s)
     if "rate" in result:
         with open(LAST, "w") as f:
-            json.dump({"patches_per_sec": result["rate"]}, f)
-        return result["rate"]
+            json.dump({"patches_per_sec": result["rate"],
+                       "int8_patches_per_sec": result["int8"]}, f)
+        return result["rate"], result["int8"]
     if "error" in result:
         # deterministic failure: report honestly (null), never the cache —
         # a cached value here would permanently mask real regressions
         print(f"# measurement FAILED: {result['error']}", file=sys.stderr)
-        return float("nan")
+        return float("nan"), float("nan")
     # environment stall (chip claim): the cache reflects unchanged code
     print(f"# timed out after {timeout_s:.0f}s (chip claim stall)",
           file=sys.stderr)
@@ -170,12 +209,13 @@ def _measure_with_watchdog(timeout_s: float = 1500.0):
         with open(LAST) as f:
             cached = json.load(f)
         print("# falling back to last successful measurement", file=sys.stderr)
-        return cached["patches_per_sec"]
-    return float("nan")
+        return (cached["patches_per_sec"],
+                cached.get("int8_patches_per_sec", float("nan")))
+    return float("nan"), float("nan")
 
 
 def main():
-    tpu_rate = _measure_with_watchdog()
+    tpu_rate, int8_rate = _measure_with_watchdog()
 
     if os.path.isfile(CACHE):
         with open(CACHE) as f:
@@ -218,6 +258,15 @@ def main():
                                f"~{MLPERF_V5E_RESNET50_PER_CHIP:.0f}/s/chip "
                                "(approx; cited from memory — BASELINE.md)",
                 "vs_reference_torch_1core_cpu": _r(vs_cpu),
+                # the opt-in W8A8 serving mode (quantize: "int8") — same
+                # extract, int8 encoder; cosine > 0.999 vs float
+                # (models/quantize.py, tests/test_quantize.py). Reported
+                # alongside because the HEADLINE stays the parity-exact
+                # bf16 path.
+                "int8_patches_per_sec": _r(int8_rate, 1),
+                "int8_vs_bf16": _r(int8_rate / tpu_rate
+                                   if np.isfinite(tpu_rate) and tpu_rate > 0
+                                   else float("nan")),
             }
         )
     )

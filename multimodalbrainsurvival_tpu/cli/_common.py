@@ -179,6 +179,43 @@ def restore_maybe_folded(config: Config, adapter, init_adapter, probe, seed: int
     return variables
 
 
+def quantize_mode(config: Config) -> str:
+    """Validated ``quantize`` config value: ``""`` (float serving, default)
+    or ``"int8"`` (W8A8 ResNet, ``models/quantize.py``). int8 implies
+    ``fold_bn`` — the int8 weights are built from the folded kernels."""
+    quant = str(config.get("quantize", "") or "").lower()
+    if quant not in ("", "int8"):
+        raise ValueError(f"unsupported quantize mode: {quant!r}")
+    return quant
+
+
+def quantize_serving(config: Config, model, adapter, variables, probe):
+    """Swap a float MIL serving path for the int8 (W8A8) one.
+
+    Calibrates activation ranges on the probe batch, quantizes the folded
+    ResNet weights, rides the int8 tree in ``variables["qtree"]`` (a real
+    jit argument the mesh replication also covers), and returns
+    ``(variables, QuantizedMILAdapter)``. Deviates from reference numerics
+    by int8 rounding (cosine > 0.995 pinned in tests/test_quantize.py) —
+    opt-in for that reason.
+    """
+    import jax
+
+    from multimodalbrainsurvival_tpu.models.quantize import quantize_mil_resnet
+    from multimodalbrainsurvival_tpu.train.adapters import QuantizedMILAdapter
+
+    qtree = quantize_mil_resnet(variables, [probe["patch_bag"]],
+                                arch=config.model_name)
+    variables = dict(variables)
+    variables["qtree"] = jax.device_put(qtree)
+    adapter = QuantizedMILAdapter(
+        model=model, loader_kwargs=adapter.loader_kwargs,
+        arch=config.model_name,
+    )
+    print("quantized ResNet to int8 (W8A8) for serving")
+    return variables, adapter
+
+
 def extract_features_frames(cases: list[str], feats: np.ndarray):
     """Per-case mean feature aggregation (``4_HistoPath_extractfeatures.py:80-88``)."""
     import pandas as pd

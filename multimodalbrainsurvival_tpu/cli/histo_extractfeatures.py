@@ -22,6 +22,8 @@ from multimodalbrainsurvival_tpu.cli._common import (
     load_config,
     make_device_put,
     make_parser,
+    quantize_mode,
+    quantize_serving,
     restore_maybe_folded,
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import build_datasets, build_mil_model
@@ -73,9 +75,10 @@ def main(argv=None):
     os.makedirs(output_path or ".", exist_ok=True)
 
     datasets = build_datasets(config, bool(args.quick))
+    quant = quantize_mode(config)  # "int8" → W8A8 ResNet serving
     # fold_bn: serve with every BatchNorm folded into the conv weights —
     # measured +20% extract throughput on v5e (models/folding.py)
-    fold = bool(config.get("fold_bn", False))
+    fold = bool(config.get("fold_bn", False)) or bool(quant)
     model = build_mil_model(config, fold_bn=fold)
     adapter = MILAdapter(
         model=model,
@@ -91,6 +94,9 @@ def main(argv=None):
     )
     variables = restore_maybe_folded(config, adapter, init_adapter,
                                      probe, args.seed)
+    if quant:
+        variables, adapter = quantize_serving(config, model, adapter,
+                                              variables, probe)
 
     device_put_fn = make_device_put(config)  # mesh: {"dp": N} → sharded serve
     if device_put_fn is not None:

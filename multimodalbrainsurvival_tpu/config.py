@@ -36,6 +36,7 @@ KNOWN_KEYS = {
     "keep_bag_remainder", "num_devices", "resume", "fold_bn",
     "cache_patches_on_device", "cache_max_bytes_per_device",
     "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
+    "quantize",
 }
 
 

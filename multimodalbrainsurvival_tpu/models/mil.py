@@ -41,9 +41,21 @@ class AggregationModel(nn.Module):
         """(B, bag, H, W, C) → ((B, D) bag embedding, (B, bag) attention)."""
         B, bag, H, W, C = x.shape
         feats = self.resnet.extract(x.reshape(B * bag, H, W, C), train=train)
-        feats = feats.reshape(B, bag, -1)
+        return self.extract_from_feats(feats.reshape(B, bag, -1), mask=mask,
+                                       train=train)
+
+    def extract_from_feats(self, feats, mask=None, train: bool = False):
+        """Post-ResNet tail of ``extract``: (B, bag, D) per-patch features →
+        bag embedding. Split out so alternate patch encoders (the int8
+        serving path, ``models/quantize.py``) can reuse the aggregator."""
         feats, attention = self.aggregator(feats, mask=mask, train=train)
         return masked_bag_mean(feats, mask), attention
+
+    def from_feats(self, feats, mask=None, train: bool = False):
+        """Post-ResNet tail of ``__call__`` (scores from per-patch feats)."""
+        feats, attention = self.extract_from_feats(feats, mask=mask,
+                                                   train=train)
+        return self.fc(feats), attention
 
     def __call__(self, x, mask=None, train: bool = False):
         feats, attention = self.extract(x, mask=mask, train=train)
@@ -66,12 +78,20 @@ class AggregationProjectModel(nn.Module):
     def extract(self, x, mask=None, train: bool = False):
         B, bag, H, W, C = x.shape
         feats = self.resnet.extract(x.reshape(B * bag, H, W, C), train=train)
-        feats = feats.reshape(B, bag, -1)
+        return self.extract_from_feats(feats.reshape(B, bag, -1), mask=mask,
+                                       train=train)
+
+    def extract_from_feats(self, feats, mask=None, train: bool = False):
         feats, attention = self.aggregator(feats, mask=mask, train=train)
         feats = masked_bag_mean(feats, mask)
         feats = jnp.tanh(self.project(feats))
         feats = self.drop(feats, deterministic=not train)
         return feats, attention
+
+    def from_feats(self, feats, mask=None, train: bool = False):
+        feats, attention = self.extract_from_feats(feats, mask=mask,
+                                                   train=train)
+        return self.fc(feats), attention
 
     def __call__(self, x, mask=None, train: bool = False):
         feats, attention = self.extract(x, mask=mask, train=train)

@@ -1,0 +1,258 @@
+"""int8 (W8A8) post-training quantization for the ResNet serving path.
+
+The serving roofline audit (docs/DESIGN.md item 16) showed the bf16
+``extract`` path is HBM-bandwidth-bound: ~52 MB of activation traffic per
+patch at 77-86% of the v5e roofline. int8 activations halve that traffic
+(and int8 weights quarter the weight stream), so a quantized forward is the
+one lever left that moves the serving ceiling rather than chasing the last
+~20% of the bf16 bound. It is also table stakes for production serving.
+
+Scheme (standard PTQ, chosen for exact TPU MXU mapping):
+
+- **weights**: symmetric int8, per-OUTPUT-CHANNEL scale (axes (0,1,2) of the
+  HWIO kernel), computed from the BN-folded kernels (``models/folding.py``)
+  so the BN affine is inside the quantized weights;
+- **activations**: symmetric int8, per-tensor STATIC scales calibrated by
+  running the float forward over representative batches and recording the
+  abs-max at every conv-input site (stem input, each block's post-relu
+  intermediates, each block output);
+- **conv math**: int8 x int8 -> int32 accumulation
+  (``preferred_element_type``), dequantized in the conv epilogue by the
+  fused scale ``s_in * w_scale[c_out]``, bias added in f32, relu'd, and
+  requantized to the next site's scale — XLA fuses the epilogue into the
+  convolution, so only int8 tensors round-trip HBM between convs;
+- the stem max-pool runs IN the int8 domain (requantization is monotone, so
+  it commutes with max exactly — tested).
+
+Semantics note: this is a DELIBERATE deviation from reference numerics
+(opt-in via ``quantize: "int8"``); the float path remains the default and
+the parity-tested one. Reference context: the quantized forward computes the
+same function as ``forward_extract`` (``1_HistoPathology/resnet.py:151-165``)
+under int8 rounding.
+
+Works for the whole family (18/34 basic blocks, 50/101/152 bottleneck) and
+any ``in_channels`` (the RNone/RNfour variants).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+BASIC_ARCHS = ("resnet18", "resnet34")
+
+_DN = ("NHWC", "HWIO", "NHWC")
+_EPS = 1e-8  # scale floor: a dead channel/site must not divide by zero
+
+
+# --- float reference forward with activation-range capture -------------------
+
+
+def _fconv(x, p, *, stride=1, padding="SAME"):
+    y = lax.conv_general_dilated(
+        x, p["kernel"].astype(jnp.float32), (stride, stride), padding,
+        dimension_numbers=_DN,
+    )
+    return y + p["bias"].astype(jnp.float32)
+
+
+def float_extract_amax(variables: dict, x, *, arch: str = "resnet50"):
+    """Folded-ResNet float forward that ALSO returns per-site abs-maxes.
+
+    ``variables``: a ``fold_resnet_variables`` output (``{'params': ...}``).
+    Returns ``(features (B, D) f32, {site: scalar amax})``. The forward is
+    numerically the stock ``ResNet(fold_bn=True).extract`` in f32 (pinned by
+    tests); the amax dict is what ``quantize_resnet`` calibrates from.
+    """
+    p = variables["params"]
+    basic = arch in BASIC_ARCHS
+    amax: dict[str, Any] = {"in": jnp.max(jnp.abs(x)).astype(jnp.float32)}
+    x = x.astype(jnp.float32)
+    y = _fconv(x, p["conv1"], stride=2, padding=((3, 3), (3, 3)))
+    y = jax.nn.relu(y)
+    amax["stem"] = jnp.max(y)
+    y = lax.reduce_window(
+        y, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for i, n_blocks in enumerate(STAGE_SIZES[arch]):
+        for j in range(n_blocks):
+            ln = f"layer{i + 1}_{j}"
+            bp = p[ln]
+            stride = 2 if (i > 0 and j == 0) else 1
+            if basic:
+                t = jax.nn.relu(
+                    _fconv(y, bp["conv1"], stride=stride,
+                           padding=((1, 1), (1, 1))))
+                amax[f"{ln}.r1"] = jnp.max(t)
+                t = _fconv(t, bp["conv2"], padding=((1, 1), (1, 1)))
+            else:
+                t = jax.nn.relu(_fconv(y, bp["conv1"]))
+                amax[f"{ln}.r1"] = jnp.max(t)
+                t = jax.nn.relu(
+                    _fconv(t, bp["conv2"], stride=stride,
+                           padding=((1, 1), (1, 1))))
+                amax[f"{ln}.r2"] = jnp.max(t)
+                t = _fconv(t, bp["conv3"])
+            if "downsample_conv" in bp:
+                r = _fconv(y, bp["downsample_conv"], stride=stride)
+            else:
+                r = y
+            y = jax.nn.relu(t + r)
+            amax[f"{ln}.out"] = jnp.max(y)
+    return jnp.mean(y, axis=(1, 2)).astype(jnp.float32), amax
+
+
+def merge_amax(dicts: list[dict]) -> dict:
+    """Elementwise max over per-batch amax dicts (multi-batch calibration)."""
+    out = dict(dicts[0])
+    for d in dicts[1:]:
+        for k, v in d.items():
+            out[k] = np.maximum(out[k], v)
+    return {k: np.float32(v) for k, v in out.items()}
+
+
+# --- weight quantization -----------------------------------------------------
+
+
+def _quantize_conv(p: dict) -> dict:
+    k = np.asarray(p["kernel"], np.float32)
+    ws = np.maximum(np.abs(k).max(axis=(0, 1, 2)), _EPS) / 127.0
+    kq = np.clip(np.rint(k / ws), -127, 127).astype(np.int8)
+    return {"k": kq, "ws": ws.astype(np.float32),
+            "b": np.asarray(p["bias"], np.float32)}
+
+
+def quantize_resnet(variables: dict, amax: dict, *,
+                    arch: str = "resnet50") -> dict:
+    """Folded variables + calibrated activation amaxes → int8 serving tree.
+
+    The returned ``qtree`` holds per-conv ``{k int8, ws f32[out], b f32}``
+    plus per-site scalar scales (``amax / 127``); feed it to
+    ``quantized_extract``.
+    """
+    p = variables["params"]
+    qt: dict[str, Any] = {"conv1": _quantize_conv(p["conv1"])}
+    for i, n_blocks in enumerate(STAGE_SIZES[arch]):
+        for j in range(n_blocks):
+            ln = f"layer{i + 1}_{j}"
+            qt[ln] = {name: _quantize_conv(cp)
+                      for name, cp in p[ln].items()}
+    qt["scales"] = {
+        site: np.float32(max(float(v), _EPS) / 127.0)
+        for site, v in amax.items()
+    }
+    return qt
+
+
+# --- int8 forward ------------------------------------------------------------
+
+
+def _qconv(x_q, s_in, cp, *, stride=1, padding="SAME"):
+    """int8 conv with fused dequant epilogue → f32 (pre-activation)."""
+    y32 = lax.conv_general_dilated(
+        x_q, cp["k"], (stride, stride), padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    return y32.astype(jnp.float32) * (s_in * cp["ws"]) + cp["b"]
+
+
+def _requant(y, s):
+    return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+
+def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
+    """(B, H, W, C) preprocessed float input → (B, D) f32 embedding, int8.
+
+    Every inter-conv activation is an int8 tensor; dequant/requant live in
+    the conv epilogues. Accuracy vs the float path is pinned by
+    ``tests/test_quantize.py`` (cosine > 0.995 on calibrated data).
+    """
+    basic = arch in BASIC_ARCHS
+    s = qtree["scales"]
+    y_q = _requant(x.astype(jnp.float32), s["in"])
+    y = _qconv(y_q, s["in"], qtree["conv1"], stride=2,
+               padding=((3, 3), (3, 3)))
+    y_q = _requant(jax.nn.relu(y), s["stem"])
+    # max-pool in the int8 domain (requant is monotone → commutes with max)
+    y_q = lax.reduce_window(
+        y_q, jnp.int8(-128), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    s_in = s["stem"]
+    for i, n_blocks in enumerate(STAGE_SIZES[arch]):
+        for j in range(n_blocks):
+            ln = f"layer{i + 1}_{j}"
+            bq = qtree[ln]
+            stride = 2 if (i > 0 and j == 0) else 1
+            if basic:
+                t = _qconv(y_q, s_in, bq["conv1"], stride=stride,
+                           padding=((1, 1), (1, 1)))
+                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r1"])
+                t = _qconv(t_q, s[f"{ln}.r1"], bq["conv2"],
+                           padding=((1, 1), (1, 1)))
+            else:
+                t = _qconv(y_q, s_in, bq["conv1"])
+                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r1"])
+                t = _qconv(t_q, s[f"{ln}.r1"], bq["conv2"], stride=stride,
+                           padding=((1, 1), (1, 1)))
+                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r2"])
+                t = _qconv(t_q, s[f"{ln}.r2"], bq["conv3"])
+            if "downsample_conv" in bq:
+                r = _qconv(y_q, s_in, bq["downsample_conv"], stride=stride)
+            else:
+                # dequantize the skip path (one fused multiply)
+                r = y_q.astype(jnp.float32) * s_in
+            s_in = s[f"{ln}.out"]
+            y_q = _requant(jax.nn.relu(t + r), s_in)
+    # final dequant + global average pool
+    return jnp.mean(y_q.astype(jnp.float32), axis=(1, 2)) * s_in
+
+
+def calibrate_and_quantize(variables: dict, batches, *,
+                           arch: str = "resnet50") -> dict:
+    """One-call calibration: run ``float_extract_amax`` over ``batches``
+    (already-preprocessed float arrays) and build the int8 qtree."""
+    fwd = jax.jit(lambda v, x: float_extract_amax(v, x, arch=arch)[1])
+    dicts = [jax.device_get(fwd(variables, jnp.asarray(b))) for b in batches]
+    return quantize_resnet(variables, merge_amax(dicts), arch=arch)
+
+
+def quantize_mil_resnet(variables: dict, patch_bags_u8, *,
+                        arch: str = "resnet50",
+                        submodule: str = "resnet") -> dict:
+    """Calibrate + quantize the ResNet inside a folded MIL variable tree.
+
+    ``variables``: the restored+folded tree of an ``AggregationModel`` /
+    ``AggregationProjectModel`` (the ResNet subtree lives under
+    ``params.<submodule>``). ``patch_bags_u8``: raw uint8 ``(B, bag, H, W, C)``
+    (or ``(N, H, W, C)``) calibration batches exactly as the loader yields
+    them — the eval preprocessing is applied here so the calibrated ranges
+    see the true serving input distribution.
+    """
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+    rv = {
+        "params": jax.tree.map(
+            lambda a: np.asarray(a, np.float32), variables["params"][submodule]
+        )
+    }
+    fwd = jax.jit(lambda v, x: float_extract_amax(v, x, arch=arch)[1])
+    dicts = []
+    for bag in patch_bags_u8:
+        x = preprocess_patches(jnp.asarray(bag), train=False,
+                               dtype=jnp.float32)
+        x = x.reshape((-1,) + x.shape[-3:])
+        dicts.append(jax.device_get(fwd(rv, x)))
+    return quantize_resnet(rv, merge_amax(dicts), arch=arch)

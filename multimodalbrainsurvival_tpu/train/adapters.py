@@ -149,6 +149,56 @@ class MILAdapter(_PatchAdapterBase):
 
 
 @dataclass
+class QuantizedMILAdapter(MILAdapter):
+    """int8 (W8A8) serving variant of ``MILAdapter.extract``.
+
+    The per-patch ResNet runs through ``models/quantize.quantized_extract``
+    (int8 weights + calibrated int8 activations); the aggregator tail reuses
+    the float model via ``extract_from_feats`` so aggregator/projection
+    params stay exactly the trained ones. Opt-in (``quantize: "int8"`` in
+    the serving configs) and eval-only — training and the default serving
+    path remain float.
+
+    ``variables`` carries the int8 tree alongside the float params
+    (``{"params": ..., "qtree": ...}``) so the quantized weights are a real
+    jit argument (no baked-in constants) and the CLI's mesh replication
+    covers them like any other leaf.
+    """
+
+    arch: str = "resnet50"
+
+    def _patch_feats(self, qtree, arrays):
+        from multimodalbrainsurvival_tpu.models.quantize import (
+            quantized_extract,
+        )
+
+        x = self._preprocess(arrays, False, None)
+        B, bag = x.shape[:2]
+        feats = quantized_extract(
+            qtree, x.reshape((B * bag,) + x.shape[2:]), arch=self.arch
+        )
+        return feats.reshape(B, bag, -1)
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if train:
+            raise ValueError("the int8 serving adapter is eval-only")
+        out = self.model.apply(
+            {"params": variables["params"]},
+            self._patch_feats(variables["qtree"], arrays),
+            mask=arrays["bag_mask"], train=False, method="from_feats",
+        )
+        return self._unwrap(out), None
+
+    def extract(self, variables, arrays):
+        out = self.model.apply(
+            {"params": variables["params"]},
+            self._patch_feats(variables["qtree"], arrays),
+            mask=arrays["bag_mask"], train=False, method="extract_from_feats",
+        )
+        return self._unwrap(out)
+
+
+@dataclass
 class JointAdapter(_PatchAdapterBase):
     """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
 

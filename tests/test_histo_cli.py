@@ -103,6 +103,33 @@ def test_histo_cli_end_to_end(histo_experiment):
     )
     np.testing.assert_allclose(feats, feats_nofold, atol=5e-4)
 
+    # quantize: "int8" — the W8A8 serving path (models/quantize.py) through
+    # both serving CLIs; embeddings track the float ones (cosine), scores
+    # stay finite. Opt-in numeric deviation; contract in tests/test_quantize.py.
+    cfg5 = dict(cfg3)
+    cfg5["output_path"] = str(tmp_path / "feats_int8") + "/"
+    cfg5.pop("fold_bn")
+    cfg5["quantize"] = "int8"
+    p5 = tmp_path / "cfg_extract_int8.json"
+    p5.write_text(json.dumps(cfg5))
+    histo_extractfeatures.main(["--config", str(p5)])
+    feats_q = np.loadtxt(tmp_path / "feats_int8/pathology_features_val.csv",
+                         delimiter=",")
+    assert feats_q.shape == feats.shape
+    num = np.sum(feats_q * feats, axis=-1)
+    den = np.linalg.norm(feats_q, axis=-1) * np.linalg.norm(feats, axis=-1)
+    assert (num / np.maximum(den, 1e-30)).min() > 0.98
+
+    cfg6 = dict(cfg5)
+    cfg6["output_path"] = str(tmp_path / "scores_int8") + "/"
+    p6 = tmp_path / "cfg_savescore_int8.json"
+    p6.write_text(json.dumps(cfg6))
+    histo_savescore.main(["--config", str(p6)])
+    qscores = [f for f in os.listdir(tmp_path / "scores_int8") if "val" in f]
+    assert qscores, "int8 savescore wrote no val score frame"
+    qframe = pd.read_csv(tmp_path / "scores_int8" / qscores[0])
+    assert np.isfinite(qframe["score"]).all()
+
 
 def test_histo_train_with_device_cache(histo_experiment):
     """cache_patches_on_device: the CLI trains end-to-end feeding steps from
@@ -135,11 +162,20 @@ def test_extractfeatures_sharded_matches_single_device(histo_experiment):
     base["model_path"] = str(tmp_path / "out/models/ffpe_model/model_last")
 
     outs = {}
-    for tag, mesh in [("single", None), ("dp2", {"dp": 2})]:
+    for tag, mesh, quant in [
+        ("single", None, None),
+        ("dp2", {"dp": 2}, None),
+        # the int8 qtree rides in `variables`, so the same replication path
+        # must cover it (quantize + mesh compose)
+        ("int8_single", None, "int8"),
+        ("int8_dp2", {"dp": 2}, "int8"),
+    ]:
         c = dict(base)
         c["output_path"] = str(tmp_path / f"feats_{tag}") + "/"
         if mesh:
             c["mesh"] = mesh
+        if quant:
+            c["quantize"] = quant
         p = tmp_path / f"cfg_{tag}.json"
         p.write_text(json.dumps(c))
         histo_extractfeatures.main(["--config", str(p)])
@@ -148,6 +184,8 @@ def test_extractfeatures_sharded_matches_single_device(histo_experiment):
         )
     np.testing.assert_allclose(outs["dp2"], outs["single"], rtol=1e-5,
                                atol=1e-6)
+    np.testing.assert_allclose(outs["int8_dp2"], outs["int8_single"],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_histo_train_with_mesh_sharded_device_cache(histo_experiment):

@@ -1,0 +1,204 @@
+"""int8 (W8A8) post-training quantization of the ResNet serving path.
+
+Pins, for ``models/quantize.py``:
+
+- the calibration forward (``float_extract_amax``) IS the folded float
+  extract — bit-identical features, so the calibrated ranges see exactly
+  the serving numerics;
+- requantization commutes with the int8 stem max-pool (monotonicity);
+- the quantized embedding tracks the float one (per-sample cosine) on both
+  calibration and held-out data, across bottleneck (resnet50) and basic
+  (resnet18) archs and the 1-channel RNone variant;
+- ``quantize_mil_resnet`` + ``QuantizedMILAdapter`` compose on a real MIL
+  model (uint8 bags, masks, eval preprocessing);
+- the adapter refuses train mode (the int8 path is serving-only).
+
+The numeric deviation from reference semantics
+(``1_HistoPathology/resnet.py:151-165``) is deliberate and opt-in; these
+thresholds are the contract the ``quantize: "int8"`` config key promises.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from multimodalbrainsurvival_tpu.models.folding import fold_resnet_variables
+from multimodalbrainsurvival_tpu.models.quantize import (
+    float_extract_amax,
+    merge_amax,
+    quantize_mil_resnet,
+    quantize_resnet,
+    quantized_extract,
+)
+from multimodalbrainsurvival_tpu.models.resnet import RESNET_CONSTRUCTORS
+
+
+def _folded_variables(arch, in_ch=3, size=32, fold_bn=False):
+    """Random-init stock ResNet with realistic (randomized) BN stats,
+    folded for serving. Returns (folded_variables, fold_bn_model)."""
+    model = RESNET_CONSTRUCTORS[arch](in_channels=in_ch)
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, in_ch)), train=False
+    )
+    flat = traverse_util.flatten_dict(v["batch_stats"])
+    key = jax.random.PRNGKey(2)
+    for k in flat:
+        key, sub = jax.random.split(key)
+        if k[-1] == "mean":
+            flat[k] = flat[k] + 0.1 * jax.random.normal(sub, flat[k].shape)
+        else:
+            flat[k] = flat[k] * jnp.exp(
+                0.2 * jax.random.normal(sub, flat[k].shape)
+            )
+    v = {
+        "params": v["params"],
+        "batch_stats": traverse_util.unflatten_dict(flat),
+    }
+    return (
+        fold_resnet_variables(v),
+        RESNET_CONSTRUCTORS[arch](in_channels=in_ch, fold_bn=True),
+    )
+
+
+def _cosines(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    num = np.sum(a * b, axis=-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    return num / np.maximum(den, 1e-30)
+
+
+@pytest.mark.parametrize("arch", ["resnet18", "resnet50"])
+def test_float_extract_amax_is_the_folded_extract(arch):
+    """The calibration forward must be numerically the serving forward —
+    otherwise the recorded activation ranges calibrate the wrong network."""
+    fv, fold_model = _folded_variables(arch)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    feats, amax = float_extract_amax(fv, x, arch=arch)
+    want = fold_model.apply(fv, x, train=False, method="extract")
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(want))
+    # one range per conv-input site: stem input, post-relu intermediates,
+    # every block output
+    amax = jax.device_get(amax)
+    assert "in" in amax and "stem" in amax
+    n_blocks = sum(
+        (2, 2, 2, 2) if arch == "resnet18" else (3, 4, 6, 3)
+    )
+    per_block = 2 if arch == "resnet18" else 3  # r1[,r2],out
+    assert len(amax) == 2 + per_block * n_blocks
+    assert all(np.asarray(v) > 0 for v in amax.values())
+
+
+def test_requant_commutes_with_int8_maxpool():
+    """The stem max-pool runs in the int8 domain; valid because requant
+    (scale + round + clip) is monotone non-decreasing."""
+    from multimodalbrainsurvival_tpu.models.quantize import _requant
+    from jax import lax
+
+    rng = np.random.default_rng(1)
+    # post-relu range, including values beyond the clip point 127*s
+    y = jnp.asarray(rng.uniform(0.0, 3.0, size=(2, 8, 8, 4)).astype(np.float32))
+    s = np.float32(2.0 / 127.0)
+
+    def maxpool(t, init):
+        return lax.reduce_window(
+            t, init, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+
+    pool_then_q = _requant(maxpool(y, -jnp.inf), s)
+    q_then_pool = maxpool(_requant(y, s), jnp.int8(-128))
+    np.testing.assert_array_equal(
+        np.asarray(pool_then_q), np.asarray(q_then_pool)
+    )
+
+
+@pytest.mark.parametrize(
+    "arch,in_ch", [("resnet18", 3), ("resnet50", 3), ("resnet50", 1)]
+)
+def test_quantized_extract_tracks_float(arch, in_ch):
+    """W8A8 embedding vs float embedding: per-sample cosine > 0.995 on
+    calibration data AND held-out data from the same distribution
+    (measured ~0.999 — see models/quantize.py)."""
+    fv, _ = _folded_variables(arch, in_ch=in_ch)
+    rng = np.random.default_rng(0)
+    x_cal = jnp.asarray(rng.normal(size=(4, 32, 32, in_ch)).astype(np.float32))
+    ref_cal, amax = float_extract_amax(fv, x_cal, arch=arch)
+    qt = quantize_resnet(fv, merge_amax([jax.device_get(amax)]), arch=arch)
+
+    q_cal = quantized_extract(qt, x_cal, arch=arch)
+    assert _cosines(q_cal, ref_cal).min() > 0.995
+
+    x_new = jnp.asarray(rng.normal(size=(4, 32, 32, in_ch)).astype(np.float32))
+    ref_new, _ = float_extract_amax(fv, x_new, arch=arch)
+    q_new = quantized_extract(qt, x_new, arch=arch)
+    assert _cosines(q_new, ref_new).min() > 0.995
+
+    # the inter-conv tensors really are int8 (the whole point: halved HBM
+    # traffic) — weights int8, per-out-channel scales f32
+    assert qt["conv1"]["k"].dtype == np.int8
+    assert qt["conv1"]["ws"].shape == (64,)
+
+
+def test_quantized_mil_adapter_matches_float_extract():
+    """quantize_mil_resnet + QuantizedMILAdapter vs the float MILAdapter on
+    a real AggregationModel: same aggregator tail, quantized patch encoder;
+    bag embeddings agree to cosine > 0.995 from uint8 bags end-to-end."""
+    from multimodalbrainsurvival_tpu.models.aggregators import make_aggregator
+    from multimodalbrainsurvival_tpu.models.mil import AggregationModel
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        MILAdapter,
+        QuantizedMILAdapter,
+    )
+
+    def build(fold_bn):
+        rn = RESNET_CONSTRUCTORS["resnet18"](fold_bn=fold_bn)
+        return AggregationModel(
+            resnet=rn,
+            aggregator=make_aggregator("attention", dim=512, hdim=32),
+            aggregator_dim=512,
+        )
+
+    rng = np.random.default_rng(3)
+    bag = rng.integers(0, 256, size=(2, 3, 32, 32, 3), dtype=np.uint8)
+    arrays = {
+        "patch_bag": jnp.asarray(bag),
+        "bag_mask": jnp.ones((2, 3), np.float32),
+        "sample_mask": jnp.ones((2,), bool),
+    }
+    stock = MILAdapter(model=build(False))
+    v = stock.init(jax.random.PRNGKey(0), arrays)
+    flat = traverse_util.flatten_dict(v["batch_stats"])
+    key = jax.random.PRNGKey(5)
+    for k in flat:
+        key, sub = jax.random.split(key)
+        if k[-1] == "mean":
+            flat[k] = flat[k] + 0.1 * jax.random.normal(sub, flat[k].shape)
+        else:
+            flat[k] = flat[k] * jnp.exp(
+                0.2 * jax.random.normal(sub, flat[k].shape)
+            )
+    v = {
+        "params": v["params"],
+        "batch_stats": traverse_util.unflatten_dict(flat),
+    }
+    folded = fold_resnet_variables(v)
+
+    float_adapter = MILAdapter(model=build(True))
+    want = float_adapter.extract(folded, arrays)
+
+    qtree = quantize_mil_resnet(folded, [bag], arch="resnet18")
+    qv = dict(folded)
+    qv["qtree"] = jax.device_put(qtree)
+    qadapter = QuantizedMILAdapter(model=build(True), arch="resnet18")
+    got = qadapter.extract(qv, arrays)
+    assert got.shape == want.shape
+    assert _cosines(got, want).min() > 0.995
+
+    # apply() (the savescore path) runs the same encoder through the fc head
+    out, stats = qadapter.apply(qv, arrays, train=False)
+    assert out.shape == (2, 1) and stats is None
+    with pytest.raises(ValueError, match="eval-only"):
+        qadapter.apply(qv, arrays, train=True, rng=jax.random.PRNGKey(0))

@@ -202,13 +202,19 @@ def quantize_serving(config: Config, model, adapter, variables, probe):
     import jax
 
     from multimodalbrainsurvival_tpu.models.quantize import quantize_mil_resnet
-    from multimodalbrainsurvival_tpu.train.adapters import QuantizedMILAdapter
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        JointAdapter,
+        QuantizedJointAdapter,
+        QuantizedMILAdapter,
+    )
 
     qtree = quantize_mil_resnet(variables, [probe["patch_bag"]],
                                 arch=config.model_name)
     variables = dict(variables)
     variables["qtree"] = jax.device_put(qtree)
-    adapter = QuantizedMILAdapter(
+    cls = (QuantizedJointAdapter if isinstance(adapter, JointAdapter)
+           else QuantizedMILAdapter)
+    adapter = cls(
         model=model, loader_kwargs=adapter.loader_kwargs,
         arch=config.model_name,
     )

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from multimodalbrainsurvival_tpu.cli._common import (
     load_config,
     make_parser,
+    quantize_mode,
+    quantize_serving,
     restore_maybe_folded,
     savescore_name,
 )
@@ -33,7 +35,8 @@ def main(argv=None):
     os.makedirs(output_path or ".", exist_ok=True)
 
     datasets = build_joint_datasets(config, bool(args.quick))
-    fold = bool(config.get("fold_bn", False))
+    quant = quantize_mode(config)  # "int8" → W8A8 ResNet serving
+    fold = bool(config.get("fold_bn", False)) or bool(quant)
     model = build_joint_model(config, fold_bn=fold)
     adapter = JointAdapter(
         model=model,
@@ -51,6 +54,9 @@ def main(argv=None):
     )
     variables = restore_maybe_folded(config, adapter, init_adapter,
                                      probe, args.seed)
+    if quant:
+        variables, adapter = quantize_serving(config, model, adapter,
+                                              variables, probe)
 
     prefix = os.path.basename(str(config["model_path"]).rstrip("/")) + "_joint"
     for split, ds in datasets.items():

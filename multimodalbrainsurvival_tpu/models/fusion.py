@@ -64,6 +64,20 @@ class BagHistopathologyRNAModel(nn.Module):
         rna_feats = self.rna_encoder(rna, train=train)
         return jnp.concatenate([img, rna_feats], axis=1)
 
+    def extract_from_feats(self, feats, rna, mask=None, train: bool = False):
+        """Post-ResNet tail of ``extract``: (B, bag, D) per-patch features →
+        (B, 4096) bimodal embedding. Split out so alternate patch encoders
+        (the int8 serving path, ``models/quantize.py``) reuse the fusion."""
+        img = masked_bag_mean(feats, mask)
+        rna_feats = self.rna_encoder(rna, train=train)
+        return jnp.concatenate([img, rna_feats], axis=1)
+
+    def from_feats(self, feats, rna, mask=None, train: bool = False):
+        """Post-ResNet tail of ``__call__`` (scores from per-patch feats)."""
+        fused = self.extract_from_feats(feats, rna, mask=mask, train=train)
+        fused = self.final_drop(fused, deterministic=not train)
+        return self.final(fused)
+
     def __call__(self, patch_bag, rna, mask=None, train: bool = False):
         fused = self.extract(patch_bag, rna, mask=mask, train=train)
         fused = self.final_drop(fused, deterministic=not train)

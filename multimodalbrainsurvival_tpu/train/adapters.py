@@ -182,17 +182,19 @@ class QuantizedMILAdapter(MILAdapter):
     def apply(self, variables, arrays, *, train: bool, rng=None):
         if train:
             raise ValueError("the int8 serving adapter is eval-only")
+        feats = self._patch_feats(variables["qtree"], arrays)
         out = self.model.apply(
             {"params": variables["params"]},
-            self._patch_feats(variables["qtree"], arrays),
+            *self._model_inputs(feats, arrays),
             mask=arrays["bag_mask"], train=False, method="from_feats",
         )
         return self._unwrap(out), None
 
     def extract(self, variables, arrays):
+        feats = self._patch_feats(variables["qtree"], arrays)
         out = self.model.apply(
             {"params": variables["params"]},
-            self._patch_feats(variables["qtree"], arrays),
+            *self._model_inputs(feats, arrays),
             mask=arrays["bag_mask"], train=False, method="extract_from_feats",
         )
         return self._unwrap(out)
@@ -201,6 +203,18 @@ class QuantizedMILAdapter(MILAdapter):
 @dataclass
 class JointAdapter(_PatchAdapterBase):
     """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
+
+    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
+
+    def _model_inputs(self, x, arrays) -> tuple:
+        return (x, arrays["rna_data"])
+
+
+@dataclass
+class QuantizedJointAdapter(QuantizedMILAdapter):
+    """int8 (W8A8) serving variant of the joint bimodal model: quantized
+    per-patch ResNet, float RNA encoder + fusion tail
+    (``BagHistopathologyRNAModel.{from_feats,extract_from_feats}``)."""
 
     array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
 

@@ -76,6 +76,20 @@ def test_joint_cli_end_to_end(joint_experiment):
     sf = pd.read_csv(score_files[0])
     assert np.isfinite(sf.select_dtypes("number")).all().all()
 
+    # quantize: "int8" — W8A8 patch encoder under the bimodal fusion
+    # (models/quantize.py); scores must stay finite and track the float run
+    cfg3 = dict(cfg2)
+    cfg3["output_path"] = str(tmp_path / "scores_int8") + "/"
+    cfg3["quantize"] = "int8"
+    p3 = tmp_path / "cfg_savescore_int8.json"
+    p3.write_text(json.dumps(cfg3))
+    joint_savescore.main(["--config", str(p3)])
+    qfiles = list((tmp_path / "scores_int8").glob("*val*df.csv"))
+    assert qfiles, "int8 joint savescore wrote no val score frame"
+    qf = pd.read_csv(qfiles[0])
+    assert np.isfinite(qf["score"]).all()
+    np.testing.assert_allclose(qf["score"], sf["score"], atol=0.05)
+
 
 def test_joint_train_with_mesh_sharded_device_cache(joint_experiment):
     """Joint CLI with cache_patches_on_device + mesh: the bimodal pipeline

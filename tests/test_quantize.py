@@ -202,3 +202,60 @@ def test_quantized_mil_adapter_matches_float_extract():
     assert out.shape == (2, 1) and stats is None
     with pytest.raises(ValueError, match="eval-only"):
         qadapter.apply(qv, arrays, train=True, rng=jax.random.PRNGKey(0))
+
+
+def test_quantized_joint_adapter_matches_float():
+    """QuantizedJointAdapter: int8 patch encoder under the bimodal fusion
+    (float RNA encoder + head); scores track the float JointAdapter."""
+    from multimodalbrainsurvival_tpu.models.fusion import (
+        BagHistopathologyRNAModel,
+    )
+    from multimodalbrainsurvival_tpu.models.rna import RNAEncoder
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        JointAdapter,
+        QuantizedJointAdapter,
+    )
+
+    def build(fold_bn):
+        return BagHistopathologyRNAModel(
+            resnet=RESNET_CONSTRUCTORS["resnet18"](fold_bn=fold_bn),
+            rna_encoder=RNAEncoder(hidden_dims=(32, 16), dropout=0.0),
+        )
+
+    rng = np.random.default_rng(7)
+    arrays = {
+        "patch_bag": jnp.asarray(
+            rng.integers(0, 256, size=(2, 3, 32, 32, 3), dtype=np.uint8)
+        ),
+        "bag_mask": jnp.ones((2, 3), np.float32),
+        "sample_mask": jnp.ones((2,), bool),
+        "rna_data": jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32)),
+    }
+    stock = JointAdapter(model=build(False))
+    v = stock.init(jax.random.PRNGKey(0), arrays)
+    folded = fold_resnet_variables(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}
+    )
+
+    float_adapter = JointAdapter(model=build(True))
+    want, _ = float_adapter.apply(folded, arrays, train=False)
+    want_emb = float_adapter.extract(folded, arrays)
+
+    qtree = quantize_mil_resnet(
+        folded, [np.asarray(arrays["patch_bag"])], arch="resnet18"
+    )
+    qv = dict(folded)
+    qv["qtree"] = jax.device_put(qtree)
+    qadapter = QuantizedJointAdapter(model=build(True), arch="resnet18")
+    got, stats = qadapter.apply(qv, arrays, train=False)
+    assert stats is None
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05
+    )
+    got_emb = qadapter.extract(qv, arrays)
+    assert got_emb.shape == want_emb.shape == (2, 512 + 16)
+    # the RNA half passes through the float encoder untouched
+    np.testing.assert_array_equal(
+        np.asarray(got_emb)[:, 512:], np.asarray(want_emb)[:, 512:]
+    )
+    assert _cosines(got_emb[:, :512], want_emb[:, :512]).min() > 0.995

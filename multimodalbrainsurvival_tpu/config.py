@@ -37,6 +37,9 @@ KNOWN_KEYS = {
     "cache_patches_on_device", "cache_max_bytes_per_device",
     "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
     "quantize",
+    # streaming slide→features serving (cli/slide_extractfeatures.py)
+    "slide_csv_path", "slide_path", "slides", "max_patches_per_slide",
+    "dezoom_factor", "background_threshold", "save_patch_features",
 }
 
 

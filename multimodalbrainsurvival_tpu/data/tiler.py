@@ -406,6 +406,82 @@ def pack_patch_dir(patch_dir: str) -> int:
     return n
 
 
+def compute_tissue_mask(slide, config: TileConfig = TileConfig()) -> np.ndarray:
+    """Low-res tissue mask at the lowest pyramid level: transposed (x-major),
+    dilated×3 then eroded×3 (``1_WSI2Patches.py:58-60,75-78``)."""
+    mask_level = len(slide.level_dimensions) - 1
+    thumb = _region_rgb(
+        slide, (0, 0), mask_level, slide.level_dimensions[mask_level]
+    )
+    mask = tissue_mask(np.transpose(thumb, (1, 0, 2)), config.rgb_min)
+    mask = ndimage.binary_dilation(mask, iterations=3)
+    mask = ndimage.binary_erosion(mask, iterations=3)
+    return mask
+
+
+def read_size_for(slide, config: TileConfig) -> int:
+    """Level-0 read size for one output patch: AppMag-40 slides read 2× and
+    downscale (``1_WSI2Patches.py:98-104``)."""
+    app_mag = float(slide.properties.get("aperio.AppMag", 20))
+    return int((app_mag / 20.0) * config.dezoom_factor * config.patch_size)
+
+
+def candidate_positions(slide, mask: np.ndarray, config: TileConfig) -> np.ndarray:
+    """Seed-shuffled level-0 grid positions pre-filtered by the low-res mask
+    (vectorized form of the reference's per-candidate ``if``; same seed-5
+    shuffle, ``1_WSI2Patches.py:105``). Returns an (M, 2) int array."""
+    xmax, ymax = slide.level_dimensions[0]
+    mask_level = len(slide.level_dimensions) - 1
+    mx, my = slide.level_dimensions[mask_level]
+    ratio_x = xmax / mx
+    ratio_y = ymax / my
+    read_size = read_size_for(slide, config)
+
+    xs = np.arange(0, xmax, read_size)
+    ys = np.arange(0, ymax, read_size)
+    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
+    rng = np.random.RandomState(config.seed)
+    rng.shuffle(grid)
+    mask_ix = np.minimum((grid[:, 0] / ratio_x).astype(int), mask.shape[0] - 1)
+    mask_iy = np.minimum((grid[:, 1] / ratio_y).astype(int), mask.shape[1] - 1)
+    return grid[mask[mask_ix, mask_iy]]
+
+
+def iter_tissue_patches(slide, config: TileConfig = TileConfig(), mask=None):
+    """Stream accepted tissue tiles off an open slide: yields
+    ``(index, x, y, patch)`` with ``patch`` a ``(patch_size, patch_size, 3)``
+    uint8 RGB array, in exactly the order/selection ``extract_patches``
+    writes them (reference acceptance rule: ≥``background_threshold``
+    dilated-tissue fraction ∧ not low-contrast, ``1_WSI2Patches.py:106-121``).
+
+    This is the zero-artifact core shared by the tiling CLI (which writes the
+    PNG/loc.txt contract) and the streaming slide→features serving path
+    (``cli/slide_extractfeatures.py``), which feeds the tiles straight to the
+    TPU without touching disk."""
+    if mask is None:
+        mask = compute_tissue_mask(slide, config)
+    read_size = read_size_for(slide, config)
+    i = 0
+    for x, y in candidate_positions(slide, mask, config):
+        patch = _region_rgb(slide, (int(x), int(y)), 0, (read_size, read_size))
+        m = ndimage.binary_dilation(
+            tissue_mask(patch, config.rgb_min), iterations=3
+        )
+        if m.sum() > config.background_threshold * m.size and not is_low_contrast(
+            patch
+        ):
+            if read_size != config.patch_size:
+                patch = cv2.resize(
+                    patch,
+                    (config.patch_size, config.patch_size),
+                    interpolation=cv2.INTER_LINEAR,
+                )
+            yield i, x, y, patch
+            i += 1
+        if i >= config.max_patches_per_slide:
+            return
+
+
 def extract_patches(
     slide_path: str,
     patch_path: str,
@@ -421,72 +497,32 @@ def extract_patches(
     os.makedirs(patch_dir, exist_ok=True)
 
     slide = open_slide(slide_path)
-    mask_level = len(slide.level_dimensions) - 1
 
     mask_file = os.path.join(mask_dir, "mask.npy")
     if os.path.isfile(mask_file):  # idempotent mask cache (1_WSI2Patches.py:73-80)
         mask = np.load(mask_file)
     else:
         os.makedirs(mask_dir, exist_ok=True)
-        thumb = _region_rgb(
-            slide, (0, 0), mask_level, slide.level_dimensions[mask_level]
-        )
-        # reference stores the transposed (x-major) mask (1_WSI2Patches.py:58-60)
-        mask = tissue_mask(np.transpose(thumb, (1, 0, 2)), config.rgb_min)
-        mask = ndimage.binary_dilation(mask, iterations=3)
-        mask = ndimage.binary_erosion(mask, iterations=3)
+        mask = compute_tissue_mask(slide, config)
         np.save(mask_file, mask)
 
-    xmax, ymax = slide.level_dimensions[0]
-    mx, my = slide.level_dimensions[mask_level]
-    ratio_x = xmax / mx
-    ratio_y = ymax / my
-
-    app_mag = float(slide.properties.get("aperio.AppMag", 20))
-    resize_factor = (app_mag / 20.0) * config.dezoom_factor
-    read_size = int(resize_factor * config.patch_size)
-
-    # vectorized candidate grid + mask pre-filter
-    xs = np.arange(0, xmax, read_size)
-    ys = np.arange(0, ymax, read_size)
-    grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
-    rng = np.random.RandomState(config.seed)
-    rng.shuffle(grid)
-    mask_ix = np.minimum((grid[:, 0] / ratio_x).astype(int), mask.shape[0] - 1)
-    mask_iy = np.minimum((grid[:, 1] / ratio_y).astype(int), mask.shape[1] - 1)
-    candidates = grid[mask[mask_ix, mask_iy]]
-
-    i = 0
+    read_size = read_size_for(slide, config)
+    n = 0
     with open(os.path.join(patch_dir, "loc.txt"), "w") as loc:
         loc.write(f"slide_id {slide_id}\n")
         loc.write("id x y patch_level patch_size_read patch_size_output\n")
-        for x, y in candidates:
-            patch = _region_rgb(slide, (int(x), int(y)), 0, (read_size, read_size))
-            m = ndimage.binary_dilation(
-                tissue_mask(patch, config.rgb_min), iterations=3
+        for i, x, y, patch in iter_tissue_patches(slide, config, mask=mask):
+            loc.write(f"{i} {x} {y} 0 {read_size} {read_size}\n")
+            cv2.imwrite(
+                os.path.join(patch_dir, f"{slide_id}_patch_{i}.png"),
+                patch[:, :, ::-1],
             )
-            if m.sum() > config.background_threshold * m.size and not is_low_contrast(
-                patch
-            ):
-                if read_size != config.patch_size:
-                    patch = cv2.resize(
-                        patch,
-                        (config.patch_size, config.patch_size),
-                        interpolation=cv2.INTER_LINEAR,
-                    )
-                loc.write(f"{i} {x} {y} 0 {read_size} {read_size}\n")
-                cv2.imwrite(
-                    os.path.join(patch_dir, f"{slide_id}_patch_{i}.png"),
-                    patch[:, :, ::-1],
-                )
-                i += 1
-            if i >= config.max_patches_per_slide:
-                break
-    if i == 0:
+            n = i + 1
+    if n == 0:
         print(f"no patch extracted for slide {slide_id}")
     elif config.pack:
         pack_patch_dir(patch_dir)
-    return i
+    return n
 
 
 def _tile_one(args) -> int:

@@ -29,7 +29,9 @@ Outputs (under ``output_path``):
   ``4_HistoPath_extractfeatures.py:181-192``'s exact format, so downstream
   Concat2Features / EarlyFusion consume it unchanged;
 - with ``save_patch_features: true``, per-slide ``<slide>_features.npy``
-  (N, D) and ``<slide>_patches.csv`` (id, x, y) for patch-level analysis.
+  (N, D) and ``<slide>_patches.csv`` (id, x, y, attention — the per-patch
+  aggregator attention weight, i.e. which tiles drive the slide score) for
+  patch-level analysis and attention heatmaps.
 
 Slide list: ``slide_csv_path`` (cohort CSV with a ``wsi_file_name`` column
 and optionally ``case``; relative paths resolve under ``slide_path``) or a
@@ -140,15 +142,17 @@ def _tail_variables(variables):
 
 def make_slide_tail(model):
     """Jitted aggregator tail over one slide-spanning bag: per-patch feats
-    (N, D) → (slide embedding (D,), scores (C,)). Feats are padded to
-    128-patch buckets so the number of distinct compiles is bounded."""
-    tail = jax.jit(
-        lambda v, f, m: (
-            model.apply(v, f, mask=m, train=False,
-                        method="extract_from_feats")[0],
-            model.apply(v, f, mask=m, train=False, method="from_feats")[0],
-        )
-    )
+    (N, D) → (slide embedding (D,), scores (C,), per-patch attention (N,)).
+    Feats are padded to 128-patch buckets so the number of distinct compiles
+    is bounded."""
+    def _tail(v, f, m):
+        emb, att = model.apply(v, f, mask=m, train=False,
+                               method="extract_from_feats")
+        scores, _ = model.apply(v, f, mask=m, train=False,
+                                method="from_feats")
+        return emb, scores, att
+
+    tail = jax.jit(_tail)
 
     def run(variables, feats_np):
         n, d = feats_np.shape
@@ -157,9 +161,10 @@ def make_slide_tail(model):
         feats[0, :n] = feats_np
         mask = np.zeros((1, nb), bool)
         mask[0, :n] = True
-        emb, scores = tail(_tail_variables(variables), jnp.asarray(feats),
-                           jnp.asarray(mask))
-        return np.asarray(emb)[0], np.asarray(scores)[0]
+        emb, scores, att = tail(_tail_variables(variables),
+                                jnp.asarray(feats), jnp.asarray(mask))
+        return (np.asarray(emb)[0], np.asarray(scores)[0],
+                np.asarray(att, np.float32)[0, :n])
 
     return run
 
@@ -298,7 +303,7 @@ def main(argv=None):
         if feats.shape[0] == 0:
             print(f"{sid}: no tissue tiles — skipped")
             continue
-        emb, scores = slide_tail(variables, feats)
+        emb, scores, attention = slide_tail(variables, feats)
         row = {"slide": sid, "case": case, "n_patches": feats.shape[0]}
         if scores.shape[-1] == 1:
             row["score"] = float(scores[0])
@@ -310,7 +315,12 @@ def main(argv=None):
         emb_list.append(emb)
         if config.get("save_patch_features"):
             np.save(os.path.join(patch_dir, f"{sid}_features.npy"), feats)
-            pd.DataFrame(locs, columns=["x", "y"]).rename_axis("id").to_csv(
+            # per-patch aggregator attention: the interpretability signal
+            # (which tiles drive the slide score) the reference computes but
+            # never exports (1_HistoPathology/models.py:55-57)
+            frame = pd.DataFrame(locs, columns=["x", "y"])
+            frame["attention"] = attention
+            frame.rename_axis("id").to_csv(
                 os.path.join(patch_dir, f"{sid}_patches.csv")
             )
         print(f"{sid}: {feats.shape[0]} patches, score "

@@ -118,6 +118,8 @@ def test_streaming_slide_features_match_twostep(tmp_path, cohort):
         # 1. the streamed tiles are the tiler's tiles, in the tiler's order
         locs = pd.read_csv(out / "patch_features" / f"{name}_patches.csv")
         assert list(zip(locs["x"], locs["y"])) == want_locs
+        # identity aggregator → uniform attention of 1.0 per real patch
+        np.testing.assert_allclose(locs["attention"], 1.0)
 
         # 2. per-patch embeddings == bare ResNet on those pixels (the CLI
         # computes them in padded batches of 8; equality within f32 ulp)
@@ -178,6 +180,52 @@ def test_streaming_slide_features_mesh_dp(tmp_path, cohort):
         a = np.load(tmp_path / "out" / "patch_features" / f"{name}_features.npy")
         b = np.load(tmp_path / "out_mesh" / "patch_features" / f"{name}_features.npy")
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_slide_attention_aggregator(tmp_path):
+    """TanhAttention through the slide CLI: the exported per-patch attention
+    is a distribution over the slide's real tiles (sums to 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.cli.histo_train import build_mil_model
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    _make_slide(str(tmp_path / "S1.png"), seed=3)
+    pd.DataFrame({"wsi_file_name": ["S1.png"]}).to_csv(
+        tmp_path / "slides.csv", index=False
+    )
+    ckpt = str(tmp_path / "ckpt")
+    cfg = dict(_base_config(tmp_path, ckpt), aggregator="attention",
+               max_patches_per_slide=12)
+    model = build_mil_model(Config(cfg))
+    adapter = MILAdapter(model=model)
+    probe = {
+        "patch_bag": jnp.zeros((1, 1, 64, 64, 3), jnp.uint8),
+        "bag_mask": jnp.ones((1, 1), bool),
+        "sample_mask": jnp.ones((1,), bool),
+    }
+    # non-zero attention vector so the weights are NOT uniform by init
+    import flax
+
+    variables = flax.core.unfreeze(adapter.init(jax.random.PRNGKey(0), probe))
+    params = variables["params"]
+    vec = params["aggregator"]["vector"]
+    params["aggregator"]["vector"] = (
+        jax.random.normal(jax.random.PRNGKey(1), vec.shape) * 0.1
+    )
+    Checkpointer().save(ckpt, variables, block=True)
+
+    _run_cli(tmp_path, cfg)
+    locs = pd.read_csv(
+        tmp_path / "out" / "patch_features" / "S1_patches.csv"
+    )
+    att = locs["attention"].to_numpy()
+    assert att.shape[0] == 12 and (att > 0).all()
+    np.testing.assert_allclose(att.sum(), 1.0, rtol=1e-4)
+    assert att.std() > 0  # genuinely non-uniform under the random vector
 
 
 def test_streaming_slide_features_int8(tmp_path, cohort):

@@ -80,14 +80,15 @@ def _run_cli(tmp_path, cfg: dict):
     sx.main(["--config", str(cfg_path)])
 
 
-def _twostep_patches(tmp_path, name: str) -> tuple[np.ndarray, list]:
+def _twostep_patches(tmp_path, name: str,
+                     max_patches: int = 24) -> tuple[np.ndarray, list]:
     """Oracle tiles via the artifact-writing path (what wsi2patches runs)."""
     from multimodalbrainsurvival_tpu.data.tiler import (
         TileConfig,
         extract_patches,
     )
 
-    cfg = TileConfig(patch_size=64, max_patches_per_slide=24)
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=max_patches)
     extract_patches(str(tmp_path / f"{name}.png"), str(tmp_path / "patches"),
                     str(tmp_path / "masks"), cfg)
     pdir = tmp_path / "patches" / name
@@ -226,6 +227,90 @@ def test_streaming_slide_attention_aggregator(tmp_path):
     assert att.shape[0] == 12 and (att > 0).all()
     np.testing.assert_allclose(att.sum(), 1.0, rtol=1e-4)
     assert att.std() > 0  # genuinely non-uniform under the random vector
+
+
+def test_streaming_joint_savescore(tmp_path, capsys):
+    """Bimodal streaming scoring (``cli/slide_joint_savescore.py``): slides
+    + RNA rows → joint scores that equal the joint model applied to the
+    two-step pipeline's tiles, plus the case-level CI print."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.cli import slide_joint_savescore as sj
+    from multimodalbrainsurvival_tpu.cli.joint_train import build_joint_model
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+    from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    rng = np.random.default_rng(11)
+    n_rna = 50
+    for i, name in enumerate(("S1", "S2")):
+        _make_slide(str(tmp_path / f"{name}.png"), seed=i)
+    df = pd.DataFrame({
+        # extension-LESS names, joint_example.csv style (the reference joint
+        # dataset uses wsi_file_name verbatim as a directory name)
+        "case": ["c1", "c2"], "wsi_file_name": ["S1", "S2"],
+        "survival_months": [12.0, 30.0], "vital_status": [1, 1],
+    })
+    for g in range(n_rna):
+        df[f"rna_{g}"] = rng.normal(size=2).astype(np.float32)
+    df.to_csv(tmp_path / "joint.csv", index=False)
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = {
+        "model_name": "resnet18", "num_classes": 1,
+        "img_size": 64, "batch_size": 8, "max_patches_per_slide": 12,
+        "compute_dtype": "float32", "model_path": ckpt,
+        "slide_csv_path": str(tmp_path / "joint.csv"),
+        "slide_path": str(tmp_path),
+        "output_path": str(tmp_path / "out"), "use_cuda": False,
+    }
+    model = build_joint_model(Config(cfg))
+    adapter = JointAdapter(model=model)
+    probe = {
+        "patch_bag": jnp.zeros((1, 1, 64, 64, 3), jnp.uint8),
+        "bag_mask": jnp.ones((1, 1), bool),
+        "sample_mask": jnp.ones((1,), bool),
+        "rna_data": jnp.zeros((1, n_rna), jnp.float32),
+    }
+    variables = adapter.init(jax.random.PRNGKey(0), probe)
+    Checkpointer().save(ckpt, variables, block=True)
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    sj.main(["--config", str(cfg_path)])
+    out_text = capsys.readouterr().out
+    assert "case-level CI:" in out_text
+
+    frame = pd.read_csv(tmp_path / "out" / "joint_slide_scores.csv")
+    assert list(frame["slide"]) == ["S1", "S2"]
+    assert list(frame["case"]) == ["c1", "c2"]
+    assert list(frame["vital_status"]) == [1, 1]
+
+    # oracle: tiles from the artifact-writing tiler, scored via the joint
+    # model's own forward over ONE slide-spanning bag + the row's RNA
+    for idx, name in enumerate(("S1", "S2")):
+        patches, _ = _twostep_patches(tmp_path, name, max_patches=12)
+        n = len(patches)
+        assert int(frame.loc[idx, "n_patches"]) == n
+        x = preprocess_patches(jnp.asarray(patches), train=False)
+        feats = model.resnet.apply(
+            {"params": variables["params"]["resnet"],
+             "batch_stats": variables["batch_stats"]["resnet"]},
+            x, train=False, method="extract",
+        )
+        rna = df.loc[[idx], [f"rna_{g}" for g in range(n_rna)]].to_numpy(
+            np.float32
+        )
+        want = model.apply(
+            variables, np.asarray(feats, np.float32)[None], rna,
+            mask=np.ones((1, n), bool), train=False, method="from_feats",
+        )
+        np.testing.assert_allclose(
+            frame.loc[idx, "score"], float(np.asarray(want)[0, 0]),
+            rtol=1e-4, atol=1e-5,
+        )
 
 
 def test_streaming_slide_features_int8(tmp_path, cohort):

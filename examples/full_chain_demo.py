@@ -128,3 +128,25 @@ jv = dict(joint_cfg); jv["model_path"]="joint_out/models/jointfusion_model/model
 json.dump(jv, open("config_joint_savescore.json","w"))
 joint_savescore.main(['--config','config_joint_savescore.json'])
 lap("joint fusion done — ALL FIVE PIPELINES COMPLETE")
+
+# --- streaming serving: score the test slides straight from the files (no
+# tiling stage, no patch artifacts) with the models trained above
+from multimodalbrainsurvival_tpu.cli import slide_extractfeatures, slide_joint_savescore
+test_idx = list(splits["test"])
+pd.DataFrame({"wsi_file_name": [f"{wsis[i]}.svs" for i in test_idx],  # .svs names, .png files: resolver probes
+              "case": [cases[i] for i in test_idx]}).to_csv("serve_slides.csv", index=False)
+serve_cfg = {"model_name":"resnet18","num_classes":1,"aggregator":"attention","aggregator_hdim":512,
+  "img_size":64,"batch_size":8,"max_patches_per_slide":12,"use_cuda":False,
+  "model_path":"ffpe_out/models/ffpe_model/model_last","slide_csv_path":"serve_slides.csv",
+  "slide_path":"wsi","output_path":"serve/","save_patch_features":True}
+json.dump(serve_cfg, open("config_slide_serve.json","w"))
+slide_extractfeatures.main(['--config','config_slide_serve.json'])
+lap("streaming slide serving done (scores + features + attention, zero patch artifacts)")
+
+serve_joint_cfg = {"model_name":"resnet18","num_classes":1,"img_size":64,"batch_size":8,
+  "max_patches_per_slide":12,"use_cuda":False,
+  "model_path":"joint_out/models/jointfusion_model/model_last",
+  "slide_csv_path":"joint_test.csv","slide_path":"wsi","output_path":"serve/"}
+json.dump(serve_joint_cfg, open("config_slide_joint.json","w"))
+slide_joint_savescore.main(['--config','config_slide_joint.json'])
+lap("streaming joint (WSI+RNA) serving done — DEMO COMPLETE")

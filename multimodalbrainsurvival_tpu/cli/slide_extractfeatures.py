@@ -67,6 +67,28 @@ from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
 from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
 
 
+_SLIDE_EXTS = (".svs", ".png", ".tif", ".tiff", ".jpg", ".jpeg", ".ndpi")
+
+
+def resolve_slide_path(root: str, name: str) -> str:
+    """Find the slide file for a cohort-CSV ``wsi_file_name`` value.
+
+    Cohort CSVs name slides loosely: the reference histo CSVs carry
+    ``<id>.svs`` regardless of the actual container, the joint CSVs carry
+    extension-less ids (``5_JointFusion/datasets.py:42-51`` uses the value
+    verbatim as a directory). Probe the verbatim name, then the name +
+    common slide extensions, then the stem + extensions."""
+    base = name if os.path.isabs(name) else os.path.join(root, name)
+    if os.path.isfile(base):
+        return base
+    stem = os.path.splitext(base)[0]
+    for cand in [base + e for e in _SLIDE_EXTS] + \
+                [stem + e for e in _SLIDE_EXTS]:
+        if os.path.isfile(cand):
+            return cand
+    raise FileNotFoundError(f"no slide file for {name!r} under {root!r}")
+
+
 def resolve_slides(config) -> list[tuple[str, str, str]]:
     """(path, slide_id, case) triples from ``slide_csv_path`` or ``slides``."""
     root = config.get("slide_path", "")
@@ -79,15 +101,13 @@ def resolve_slides(config) -> list[tuple[str, str, str]]:
             )
         for _, row in df.iterrows():
             name = str(row["wsi_file_name"])
-            path = name if os.path.isabs(name) else os.path.join(root, name)
             sid = os.path.splitext(os.path.basename(name))[0]
             case = str(row["case"]) if "case" in df.columns else sid
-            out.append((path, sid, case))
+            out.append((resolve_slide_path(root, name), sid, case))
     elif config.get("slides"):
         for name in config["slides"]:
-            path = name if os.path.isabs(name) else os.path.join(root, name)
             sid = os.path.splitext(os.path.basename(name))[0]
-            out.append((path, sid, sid))
+            out.append((resolve_slide_path(root, name), sid, sid))
     else:
         raise ValueError("config needs slide_csv_path or slides")
     return out

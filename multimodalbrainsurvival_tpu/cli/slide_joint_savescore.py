@@ -48,24 +48,12 @@ from multimodalbrainsurvival_tpu.cli.joint_train import build_joint_model
 from multimodalbrainsurvival_tpu.cli.slide_extractfeatures import (
     _calibrate_int8,
     make_patch_extract,
+    resolve_slide_path,
     stream_slide_features,
     tile_config,
 )
 from multimodalbrainsurvival_tpu.data.tiler import open_slide
 from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
-
-_SLIDE_EXTS = ("", ".svs", ".png", ".tif", ".tiff", ".jpg", ".jpeg")
-
-
-def _resolve_slide_path(root: str, name: str) -> str:
-    """The reference joint dataset uses ``wsi_file_name`` verbatim as a
-    directory name (``5_JointFusion/datasets.py:42-51``), so joint cohort
-    CSVs carry extension-less names; probe the common slide extensions."""
-    base = name if os.path.isabs(name) else os.path.join(root, name)
-    for ext in _SLIDE_EXTS:
-        if os.path.isfile(base + ext):
-            return base + ext
-    raise FileNotFoundError(f"no slide file for {name!r} under {root!r}")
 
 
 def make_joint_tail(model):
@@ -108,7 +96,7 @@ def main(argv=None):
         raise ValueError(f"{config['slide_csv_path']}: no rna_* columns")
     root = config.get("slide_path", "")
     slides = [
-        (_resolve_slide_path(root, str(r["wsi_file_name"])),
+        (resolve_slide_path(root, str(r["wsi_file_name"])),
          os.path.splitext(os.path.basename(str(r["wsi_file_name"])))[0],
          str(r["case"]) if "case" in df.columns else None)
         for _, r in df.iterrows()

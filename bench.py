@@ -43,7 +43,7 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
 def measure_tpu_patches_per_sec(batch_sizes=(128, 256, 512, 1024),
-                                int8_batch_sizes=(256, 512),
+                                int8_batch_sizes=(256, 512, 1024),
                                 iters=20) -> tuple[float, float]:
     import jax
 

@@ -172,6 +172,51 @@ def _requant(y, s):
     return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
 
 
+def _qconv_q(x_q, s_in, cp, s_out, *, stride=1, padding="SAME", relu=True):
+    """int8 conv whose epilogue lands DIRECTLY back at a quantized tensor.
+
+    The first int8 iteration dequantized every conv to an f32 tensor and
+    requantized at the next conv's input; the roofline audit of that program
+    (DESIGN item 18) showed 35 MB/patch HBM traffic — well above the ~26 MB
+    a fully-int8-boundary network should touch, because the f32 conv
+    epilogues and the f32 residual adds materialized 4-byte tensors at every
+    fusion boundary. Folding dequant→(relu)→requant into ONE epilogue makes
+    every conv's output buffer narrow again.
+
+    ``relu=True`` (in-chain convs): int8 at the next site's calibrated
+    scale — exactly the value stream the first iteration produced.
+    ``relu=False`` (residual branches): the pre-activation values are
+    rounded onto the OUTPUT scale's grid but kept **int16** (clipped to
+    ±16383 so the residual ADD cannot wrap int16) — a narrow
+    [-127, 127] clip here would saturate branch values whose magnitude
+    exceeds the post-relu output amax and distort relu(t + r) (the branch
+    ranges are NOT calibrated; only the sum is), while int16 keeps the full
+    pre-activation range at half the f32 bytes. Cost vs the f32-domain add:
+    one extra rounding per branch, ≤1 ulp of the output scale (inside the
+    int8 noise floor, cosine pinned by tests/test_quantize.py)."""
+    y32 = lax.conv_general_dilated(
+        x_q, cp["k"], (stride, stride), padding, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = y32.astype(jnp.float32) * (s_in * cp["ws"]) + cp["b"]
+    if relu:
+        return _requant(jax.nn.relu(y), s_out)
+    return jnp.clip(jnp.round(y / s_out), -16383, 16383).astype(jnp.int16)
+
+
+def _residual_relu_int8(t_q16, r_q16):
+    """relu(t + r) with both branches already on the output scale's grid in
+    int16: add, relu+saturate to int8 in one clip."""
+    return jnp.clip(t_q16 + r_q16, 0, 127).astype(jnp.int8)
+
+
+def _rescale_q16(x_q, s_in, s_out):
+    """int8 identity skip → output-scale grid, int16 (one fused elementwise
+    op; int16 for the same saturation reason as ``_qconv_q(relu=False)``)."""
+    y = jnp.round(x_q.astype(jnp.float32) * (s_in / s_out))
+    return jnp.clip(y, -16383, 16383).astype(jnp.int16)
+
+
 def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
     """(B, H, W, C) preprocessed float input → (B, D) f32 embedding, int8.
 
@@ -182,9 +227,8 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
     basic = arch in BASIC_ARCHS
     s = qtree["scales"]
     y_q = _requant(x.astype(jnp.float32), s["in"])
-    y = _qconv(y_q, s["in"], qtree["conv1"], stride=2,
-               padding=((3, 3), (3, 3)))
-    y_q = _requant(jax.nn.relu(y), s["stem"])
+    y_q = _qconv_q(y_q, s["in"], qtree["conv1"], s["stem"], stride=2,
+                   padding=((3, 3), (3, 3)))
     # max-pool in the int8 domain (requant is monotone → commutes with max)
     y_q = lax.reduce_window(
         y_q, jnp.int8(-128), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -196,26 +240,25 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
             ln = f"layer{i + 1}_{j}"
             bq = qtree[ln]
             stride = 2 if (i > 0 and j == 0) else 1
+            s_out = s[f"{ln}.out"]
             if basic:
-                t = _qconv(y_q, s_in, bq["conv1"], stride=stride,
-                           padding=((1, 1), (1, 1)))
-                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r1"])
-                t = _qconv(t_q, s[f"{ln}.r1"], bq["conv2"],
-                           padding=((1, 1), (1, 1)))
+                t_q = _qconv_q(y_q, s_in, bq["conv1"], s[f"{ln}.r1"],
+                               stride=stride, padding=((1, 1), (1, 1)))
+                t_q = _qconv_q(t_q, s[f"{ln}.r1"], bq["conv2"], s_out,
+                               padding=((1, 1), (1, 1)), relu=False)
             else:
-                t = _qconv(y_q, s_in, bq["conv1"])
-                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r1"])
-                t = _qconv(t_q, s[f"{ln}.r1"], bq["conv2"], stride=stride,
-                           padding=((1, 1), (1, 1)))
-                t_q = _requant(jax.nn.relu(t), s[f"{ln}.r2"])
-                t = _qconv(t_q, s[f"{ln}.r2"], bq["conv3"])
+                t_q = _qconv_q(y_q, s_in, bq["conv1"], s[f"{ln}.r1"])
+                t_q = _qconv_q(t_q, s[f"{ln}.r1"], bq["conv2"], s[f"{ln}.r2"],
+                               stride=stride, padding=((1, 1), (1, 1)))
+                t_q = _qconv_q(t_q, s[f"{ln}.r2"], bq["conv3"], s_out,
+                               relu=False)
             if "downsample_conv" in bq:
-                r = _qconv(y_q, s_in, bq["downsample_conv"], stride=stride)
+                r_q = _qconv_q(y_q, s_in, bq["downsample_conv"], s_out,
+                               stride=stride, relu=False)
             else:
-                # dequantize the skip path (one fused multiply)
-                r = y_q.astype(jnp.float32) * s_in
-            s_in = s[f"{ln}.out"]
-            y_q = _requant(jax.nn.relu(t + r), s_in)
+                r_q = _rescale_q16(y_q, s_in, s_out)
+            y_q = _residual_relu_int8(t_q, r_q)
+            s_in = s_out
     # final dequant + global average pool
     return jnp.mean(y_q.astype(jnp.float32), axis=(1, 2)) * s_in
 

@@ -89,8 +89,22 @@ def resolve_slide_path(root: str, name: str) -> str:
     raise FileNotFoundError(f"no slide file for {name!r} under {root!r}")
 
 
-def resolve_slides(config) -> list[tuple[str, str, str]]:
-    """(path, slide_id, case) triples from ``slide_csv_path`` or ``slides``."""
+def slide_id_for(name: str) -> str:
+    """Slide id from a cohort-CSV name: strip ONLY a known slide extension.
+
+    ``os.path.splitext`` alone would truncate dotted extension-less ids
+    (real TCGA names embed a UUID after a dot, e.g.
+    ``...-DX1.83fce43e-...``), colliding two scans onto one id."""
+    base = os.path.basename(name)
+    stem, ext = os.path.splitext(base)
+    return stem if ext.lower() in _SLIDE_EXTS else base
+
+
+def resolve_slides(config, limit: int | None = None) -> list[tuple[str, str, str]]:
+    """(path, slide_id, case) triples from ``slide_csv_path`` or ``slides``.
+
+    ``limit`` slices BEFORE resolving, so a ``--quick`` smoke run never
+    fails on a missing slide it would not score."""
     root = config.get("slide_path", "")
     out = []
     if config.get("slide_csv_path"):
@@ -99,14 +113,19 @@ def resolve_slides(config) -> list[tuple[str, str, str]]:
             raise ValueError(
                 f"{config['slide_csv_path']}: need a wsi_file_name column"
             )
+        if limit is not None:
+            df = df.iloc[:limit]
         for _, row in df.iterrows():
             name = str(row["wsi_file_name"])
-            sid = os.path.splitext(os.path.basename(name))[0]
+            sid = slide_id_for(name)
             case = str(row["case"]) if "case" in df.columns else sid
             out.append((resolve_slide_path(root, name), sid, case))
     elif config.get("slides"):
-        for name in config["slides"]:
-            sid = os.path.splitext(os.path.basename(name))[0]
+        names = list(config["slides"])
+        if limit is not None:
+            names = names[:limit]
+        for name in names:
+            sid = slide_id_for(name)
             out.append((resolve_slide_path(root, name), sid, sid))
     else:
         raise ValueError("config needs slide_csv_path or slides")
@@ -160,11 +179,22 @@ def _tail_variables(variables):
     return v
 
 
+def pad_slide_bag(feats_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, D) per-patch feats → one slide-spanning bag padded to a 128
+    bucket: ((1, Nb, D) f32, (1, Nb) bool mask). Bucketing bounds the number
+    of distinct tail compiles to max_patches_per_slide / 128."""
+    n, d = feats_np.shape
+    nb = -(-n // 128) * 128
+    feats = np.zeros((1, nb, d), np.float32)
+    feats[0, :n] = feats_np
+    mask = np.zeros((1, nb), bool)
+    mask[0, :n] = True
+    return feats, mask
+
+
 def make_slide_tail(model):
     """Jitted aggregator tail over one slide-spanning bag: per-patch feats
-    (N, D) → (slide embedding (D,), scores (C,), per-patch attention (N,)).
-    Feats are padded to 128-patch buckets so the number of distinct compiles
-    is bounded."""
+    (N, D) → (slide embedding (D,), scores (C,), per-patch attention (N,))."""
     def _tail(v, f, m):
         emb, att = model.apply(v, f, mask=m, train=False,
                                method="extract_from_feats")
@@ -175,12 +205,8 @@ def make_slide_tail(model):
     tail = jax.jit(_tail)
 
     def run(variables, feats_np):
-        n, d = feats_np.shape
-        nb = max(8, -(-n // 128) * 128)
-        feats = np.zeros((1, nb, d), np.float32)
-        feats[0, :n] = feats_np
-        mask = np.zeros((1, nb), bool)
-        mask[0, :n] = True
+        n = feats_np.shape[0]
+        feats, mask = pad_slide_bag(feats_np)
         emb, scores, att = tail(_tail_variables(variables),
                                 jnp.asarray(feats), jnp.asarray(mask))
         return (np.asarray(emb)[0], np.asarray(scores)[0],
@@ -199,7 +225,10 @@ def stream_slide_features(
     host reads/filters the tiles of batch k+1; the D2H fetch of batch k
     happens after batch k+1 is dispatched. Returns ``((N, D) f32 per-patch
     features, [(x, y)] level-0 tile locations)``, in tiler order."""
-    put = None
+    # `put` transfers the HOST buffer straight into the dp-sharded layout in
+    # ONE H2D (staging through the default device first would double the
+    # per-batch transfer on the hot path)
+    put = jnp.asarray
     if device_put_fn is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -217,9 +246,7 @@ def stream_slide_features(
         nonlocal which, count, pending
         if count == 0:
             return
-        arr = jnp.asarray(bufs[which])
-        if put is not None:
-            arr = put(arr)
+        arr = put(bufs[which])
         out = patch_extract(variables, arr)  # async dispatch
         if pending is not None:
             prev, n_prev = pending
@@ -271,9 +298,7 @@ def main(argv=None):
     output_path = config.get("output_path", "")
     os.makedirs(output_path or ".", exist_ok=True)
 
-    slides = resolve_slides(config)
-    if args.quick:
-        slides = slides[:2]
+    slides = resolve_slides(config, limit=2 if args.quick else None)
     cfg = tile_config(config)
     batch_size = int(config.batch_size)
 

@@ -47,8 +47,11 @@ from multimodalbrainsurvival_tpu.cli._common import (
 from multimodalbrainsurvival_tpu.cli.joint_train import build_joint_model
 from multimodalbrainsurvival_tpu.cli.slide_extractfeatures import (
     _calibrate_int8,
+    _tail_variables,
     make_patch_extract,
+    pad_slide_bag,
     resolve_slide_path,
+    slide_id_for,
     stream_slide_features,
     tile_config,
 )
@@ -57,8 +60,8 @@ from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
 
 
 def make_joint_tail(model):
-    """Jitted fusion tail: per-patch feats (N, D) + RNA (G,) → score (C,).
-    Feats are padded to 128-patch buckets to bound distinct compiles."""
+    """Jitted fusion tail: per-patch feats (N, D) + RNA (G,) → score (C,),
+    over one slide-spanning bag (``pad_slide_bag`` bucketing)."""
     def _tail(v, f, m, rna):
         return model.apply(v, f, rna, mask=m, train=False,
                            method="from_feats")
@@ -66,16 +69,9 @@ def make_joint_tail(model):
     tail = jax.jit(_tail)
 
     def run(variables, feats_np, rna_np):
-        n, d = feats_np.shape
-        nb = max(8, -(-n // 128) * 128)
-        feats = np.zeros((1, nb, d), np.float32)
-        feats[0, :n] = feats_np
-        mask = np.zeros((1, nb), bool)
-        mask[0, :n] = True
-        v = {"params": variables["params"]}
-        if variables.get("batch_stats"):
-            v["batch_stats"] = variables["batch_stats"]
-        scores = tail(v, jnp.asarray(feats), jnp.asarray(mask),
+        feats, mask = pad_slide_bag(feats_np)
+        scores = tail(_tail_variables(variables), jnp.asarray(feats),
+                      jnp.asarray(mask),
                       jnp.asarray(rna_np[None], jnp.float32))
         return np.asarray(scores)[0]
 
@@ -97,7 +93,7 @@ def main(argv=None):
     root = config.get("slide_path", "")
     slides = [
         (resolve_slide_path(root, str(r["wsi_file_name"])),
-         os.path.splitext(os.path.basename(str(r["wsi_file_name"])))[0],
+         slide_id_for(str(r["wsi_file_name"])),
          str(r["case"]) if "case" in df.columns else None)
         for _, r in df.iterrows()
     ]
@@ -174,15 +170,14 @@ def main(argv=None):
     )
     if "survival_months" in frame and "vital_status" in frame and \
             "score" in frame:
-        from multimodalbrainsurvival_tpu.ops.metrics import (
-            concordance_index,
-        )
+        # the one CI implementation every driver uses (per-case mean score,
+        # reference sign convention) — ops/metrics.py
+        from multimodalbrainsurvival_tpu.ops.metrics import survival_ci
 
-        by_case = frame.groupby("case").mean(numeric_only=True)
-        ci = concordance_index(
-            by_case["survival_months"].to_numpy(),
-            -by_case["score"].to_numpy(),
-            by_case["vital_status"].to_numpy(),
+        ci, _ = survival_ci(
+            frame["score"].to_numpy(), list(frame["case"]),
+            frame["survival_months"].to_numpy(),
+            frame["vital_status"].to_numpy(),
         )
         print(f"case-level CI: {ci:.4f}")
 

@@ -229,17 +229,15 @@ def test_streaming_slide_attention_aggregator(tmp_path):
     assert att.std() > 0  # genuinely non-uniform under the random vector
 
 
-def test_streaming_joint_savescore(tmp_path, capsys):
-    """Bimodal streaming scoring (``cli/slide_joint_savescore.py``): slides
-    + RNA rows → joint scores that equal the joint model applied to the
-    two-step pipeline's tiles, plus the case-level CI print."""
+@pytest.fixture
+def joint_cohort(tmp_path):
+    """Two slides + a joint-style cohort CSV (rna_* columns, survival
+    labels, extension-less wsi names), a seeded joint checkpoint, config."""
     import jax
     import jax.numpy as jnp
 
-    from multimodalbrainsurvival_tpu.cli import slide_joint_savescore as sj
     from multimodalbrainsurvival_tpu.cli.joint_train import build_joint_model
     from multimodalbrainsurvival_tpu.config import Config
-    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
     from multimodalbrainsurvival_tpu.train.adapters import JointAdapter
     from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
 
@@ -276,10 +274,27 @@ def test_streaming_joint_savescore(tmp_path, capsys):
     }
     variables = adapter.init(jax.random.PRNGKey(0), probe)
     Checkpointer().save(ckpt, variables, block=True)
+    return cfg, model, variables, df, n_rna
 
-    cfg_path = tmp_path / "cfg.json"
+
+def _run_joint_cli(tmp_path, cfg: dict):
+    from multimodalbrainsurvival_tpu.cli import slide_joint_savescore as sj
+
+    cfg_path = tmp_path / "jcfg.json"
     cfg_path.write_text(json.dumps(cfg))
     sj.main(["--config", str(cfg_path)])
+
+
+def test_streaming_joint_savescore(tmp_path, capsys, joint_cohort):
+    """Bimodal streaming scoring (``cli/slide_joint_savescore.py``): slides
+    + RNA rows → joint scores that equal the joint model applied to the
+    two-step pipeline's tiles, plus the case-level CI print."""
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+    cfg, model, variables, df, n_rna = joint_cohort
+    _run_joint_cli(tmp_path, cfg)
     out_text = capsys.readouterr().out
     assert "case-level CI:" in out_text
 
@@ -311,6 +326,34 @@ def test_streaming_joint_savescore(tmp_path, capsys):
             frame.loc[idx, "score"], float(np.asarray(want)[0, 0]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_streaming_joint_int8_and_mesh(tmp_path, joint_cohort):
+    """The joint streaming CLI's advertised serving knobs are wired:
+    quantize:int8 routes the joint variables through the int8 calibration
+    and produces scores close to float; mesh {"dp": 2} reproduces the int8
+    scores near-identically (wiring regressions would diverge or crash)."""
+    cfg, _, _, _, _ = joint_cohort
+    _run_joint_cli(tmp_path, cfg)
+    flt = pd.read_csv(tmp_path / "out" / "joint_slide_scores.csv")
+
+    cfg_i8 = dict(cfg, output_path=str(tmp_path / "out_i8"),
+                  quantize="int8")
+    _run_joint_cli(tmp_path, cfg_i8)
+    i8 = pd.read_csv(tmp_path / "out_i8" / "joint_slide_scores.csv")
+    assert list(i8["n_patches"]) == list(flt["n_patches"])
+    # int8 rounding perturbs the image half of the fused embedding only
+    # slightly (cosine > 0.99 pinned by the MIL int8 test); loose sanity
+    # bound here — the tight assertion is the mesh-identity below
+    np.testing.assert_allclose(i8["score"], flt["score"], rtol=0.3,
+                               atol=0.1)
+
+    cfg_mesh = dict(cfg_i8, output_path=str(tmp_path / "out_i8_mesh"),
+                    mesh={"dp": 2})
+    _run_joint_cli(tmp_path, cfg_mesh)
+    mesh = pd.read_csv(tmp_path / "out_i8_mesh" / "joint_slide_scores.csv")
+    np.testing.assert_allclose(mesh["score"], i8["score"], rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_streaming_slide_features_int8(tmp_path, cohort):

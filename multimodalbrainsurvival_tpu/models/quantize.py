@@ -105,8 +105,13 @@ def float_extract_amax(variables: dict, x, *, arch: str = "resnet50"):
                            padding=((1, 1), (1, 1))))
                 amax[f"{ln}.r2"] = jnp.max(t)
                 t = _fconv(t, bp["conv3"])
+            # branch sites: the PRE-activation residual tensors get their own
+            # calibrated ranges so the int8 forward can store them as int8 at
+            # honest scales (they are signed — calibrate |.|)
+            amax[f"{ln}.t"] = jnp.max(jnp.abs(t))
             if "downsample_conv" in bp:
                 r = _fconv(y, bp["downsample_conv"], stride=stride)
+                amax[f"{ln}.skip"] = jnp.max(jnp.abs(r))
             else:
                 r = y
             y = jax.nn.relu(t + r)
@@ -173,48 +178,38 @@ def _requant(y, s):
 
 
 def _qconv_q(x_q, s_in, cp, s_out, *, stride=1, padding="SAME", relu=True):
-    """int8 conv whose epilogue lands DIRECTLY back at a quantized tensor.
+    """int8 conv whose epilogue lands DIRECTLY back at an int8 tensor.
 
     The first int8 iteration dequantized every conv to an f32 tensor and
     requantized at the next conv's input; the roofline audit of that program
-    (DESIGN item 18) showed 35 MB/patch HBM traffic — well above the ~26 MB
-    a fully-int8-boundary network should touch, because the f32 conv
+    (DESIGN items 18-19) showed 35 MB/patch HBM traffic — well above the
+    ~26 MB a fully-int8-boundary network should touch, because the f32 conv
     epilogues and the f32 residual adds materialized 4-byte tensors at every
     fusion boundary. Folding dequant→(relu)→requant into ONE epilogue makes
-    every conv's output buffer narrow again.
-
-    ``relu=True`` (in-chain convs): int8 at the next site's calibrated
-    scale — exactly the value stream the first iteration produced.
-    ``relu=False`` (residual branches): the pre-activation values are
-    rounded onto the OUTPUT scale's grid but kept **int16** (clipped to
-    ±16383 so the residual ADD cannot wrap int16) — a narrow
-    [-127, 127] clip here would saturate branch values whose magnitude
-    exceeds the post-relu output amax and distort relu(t + r) (the branch
-    ranges are NOT calibrated; only the sum is), while int16 keeps the full
-    pre-activation range at half the f32 bytes. Cost vs the f32-domain add:
-    one extra rounding per branch, ≤1 ulp of the output scale (inside the
-    int8 noise floor, cosine pinned by tests/test_quantize.py)."""
+    every conv's output buffer 1 byte: in-chain convs (``relu=True``) land
+    at the next input site's calibrated scale, residual-branch convs
+    (``relu=False``) at THEIR OWN calibrated pre-activation range
+    (``.t`` / ``.skip`` sites — branch magnitudes routinely exceed the
+    post-relu output amax, so they need their own scales, not the output's).
+    """
     y32 = lax.conv_general_dilated(
         x_q, cp["k"], (stride, stride), padding, dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
     y = y32.astype(jnp.float32) * (s_in * cp["ws"]) + cp["b"]
     if relu:
-        return _requant(jax.nn.relu(y), s_out)
-    return jnp.clip(jnp.round(y / s_out), -16383, 16383).astype(jnp.int16)
+        y = jax.nn.relu(y)
+    return _requant(y, s_out)
 
 
-def _residual_relu_int8(t_q16, r_q16):
-    """relu(t + r) with both branches already on the output scale's grid in
-    int16: add, relu+saturate to int8 in one clip."""
-    return jnp.clip(t_q16 + r_q16, 0, 127).astype(jnp.int8)
-
-
-def _rescale_q16(x_q, s_in, s_out):
-    """int8 identity skip → output-scale grid, int16 (one fused elementwise
-    op; int16 for the same saturation reason as ``_qconv_q(relu=False)``)."""
-    y = jnp.round(x_q.astype(jnp.float32) * (s_in / s_out))
-    return jnp.clip(y, -16383, 16383).astype(jnp.int16)
+def _residual_relu_q(t_q, s_t, r_q, s_r, s_out):
+    """relu(t + r) from two int8 branches with independent scales: dequant
+    each, add, relu, requant to the output site — one fused elementwise op
+    whose inputs and output are all 1-byte tensors. Costs one rounding per
+    branch vs the f32-domain add (within the int8 noise floor; cosine
+    contract pinned by tests/test_quantize.py)."""
+    y = t_q.astype(jnp.float32) * s_t + r_q.astype(jnp.float32) * s_r
+    return _requant(jax.nn.relu(y), s_out)
 
 
 def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
@@ -241,23 +236,27 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
             bq = qtree[ln]
             stride = 2 if (i > 0 and j == 0) else 1
             s_out = s[f"{ln}.out"]
+            s_t = s[f"{ln}.t"]
             if basic:
                 t_q = _qconv_q(y_q, s_in, bq["conv1"], s[f"{ln}.r1"],
                                stride=stride, padding=((1, 1), (1, 1)))
-                t_q = _qconv_q(t_q, s[f"{ln}.r1"], bq["conv2"], s_out,
+                t_q = _qconv_q(t_q, s[f"{ln}.r1"], bq["conv2"], s_t,
                                padding=((1, 1), (1, 1)), relu=False)
             else:
                 t_q = _qconv_q(y_q, s_in, bq["conv1"], s[f"{ln}.r1"])
                 t_q = _qconv_q(t_q, s[f"{ln}.r1"], bq["conv2"], s[f"{ln}.r2"],
                                stride=stride, padding=((1, 1), (1, 1)))
-                t_q = _qconv_q(t_q, s[f"{ln}.r2"], bq["conv3"], s_out,
+                t_q = _qconv_q(t_q, s[f"{ln}.r2"], bq["conv3"], s_t,
                                relu=False)
             if "downsample_conv" in bq:
-                r_q = _qconv_q(y_q, s_in, bq["downsample_conv"], s_out,
+                s_r = s[f"{ln}.skip"]
+                r_q = _qconv_q(y_q, s_in, bq["downsample_conv"], s_r,
                                stride=stride, relu=False)
             else:
-                r_q = _rescale_q16(y_q, s_in, s_out)
-            y_q = _residual_relu_int8(t_q, r_q)
+                # identity skip: the block input is ALREADY an int8 tensor
+                # at s_in — read it directly, no rescale materialization
+                s_r, r_q = s_in, y_q
+            y_q = _residual_relu_q(t_q, s_t, r_q, s_r, s_out)
             s_in = s_out
     # final dequant + global average pool
     return jnp.mean(y_q.astype(jnp.float32), axis=(1, 2)) * s_in

@@ -79,15 +79,18 @@ def test_float_extract_amax_is_the_folded_extract(arch):
     feats, amax = float_extract_amax(fv, x, arch=arch)
     want = fold_model.apply(fv, x, train=False, method="extract")
     np.testing.assert_array_equal(np.asarray(feats), np.asarray(want))
-    # one range per conv-input site: stem input, post-relu intermediates,
-    # every block output
+    # one range per conv-input site (stem input, post-relu intermediates,
+    # every block output) PLUS the pre-activation residual-branch sites
+    # (.t per block, .skip per downsample block) the narrow-boundary int8
+    # forward stores at their own scales
     amax = jax.device_get(amax)
     assert "in" in amax and "stem" in amax
     n_blocks = sum(
         (2, 2, 2, 2) if arch == "resnet18" else (3, 4, 6, 3)
     )
-    per_block = 2 if arch == "resnet18" else 3  # r1[,r2],out
-    assert len(amax) == 2 + per_block * n_blocks
+    per_block = 3 if arch == "resnet18" else 4  # r1[,r2],t,out
+    n_downsample = 3 if arch == "resnet18" else 4  # resnet50: layer1_0 too
+    assert len(amax) == 2 + per_block * n_blocks + n_downsample
     assert all(np.asarray(v) > 0 for v in amax.values())
 
 
@@ -249,8 +252,12 @@ def test_quantized_joint_adapter_matches_float():
     qadapter = QuantizedJointAdapter(model=build(True), arch="resnet18")
     got, stats = qadapter.apply(qv, arrays, train=False)
     assert stats is None
+    # scores pass through the fusion head's f32 matmuls, so the int8
+    # embedding noise is amplified by the (random-init) head weights; 0.06
+    # absolute on a random model bounds the per-branch-scale grid (the
+    # production contract is the cosine below, matching the MIL test)
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), atol=0.05
+        np.asarray(got), np.asarray(want), atol=0.06
     )
     got_emb = qadapter.extract(qv, arrays)
     assert got_emb.shape == want_emb.shape == (2, 512 + 16)

@@ -59,15 +59,14 @@ from multimodalbrainsurvival_tpu.cli._common import (
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import build_mil_model
 from multimodalbrainsurvival_tpu.data.tiler import (
+    SLIDE_EXTS as _SLIDE_EXTS,
     TileConfig,
     iter_tissue_patches,
     open_slide,
+    slide_id_for,
 )
 from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
 from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
-
-
-_SLIDE_EXTS = (".svs", ".png", ".tif", ".tiff", ".jpg", ".jpeg", ".ndpi")
 
 
 def resolve_slide_path(root: str, name: str) -> str:
@@ -87,17 +86,6 @@ def resolve_slide_path(root: str, name: str) -> str:
         if os.path.isfile(cand):
             return cand
     raise FileNotFoundError(f"no slide file for {name!r} under {root!r}")
-
-
-def slide_id_for(name: str) -> str:
-    """Slide id from a cohort-CSV name: strip ONLY a known slide extension.
-
-    ``os.path.splitext`` alone would truncate dotted extension-less ids
-    (real TCGA names embed a UUID after a dot, e.g.
-    ``...-DX1.83fce43e-...``), colliding two scans onto one id."""
-    base = os.path.basename(name)
-    stem, ext = os.path.splitext(base)
-    return stem if ext.lower() in _SLIDE_EXTS else base
 
 
 def resolve_slides(config, limit: int | None = None) -> list[tuple[str, str, str]]:

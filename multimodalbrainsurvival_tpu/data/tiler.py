@@ -324,6 +324,23 @@ class NativeTiffSlide:
         return self._associated
 
 
+SLIDE_EXTS = (".svs", ".png", ".tif", ".tiff", ".jpg", ".jpeg", ".ndpi")
+
+
+def slide_id_for(name: str) -> str:
+    """Slide id from a slide file name: strip ONLY a known slide extension.
+
+    The reference's ``get_slide_id`` (``1_WSI2Patches.py:135-136``) is
+    ``split('.')[0]``, which truncates real TCGA names — they embed a UUID
+    after a dot (``...-DX1.83fce43e-....svs``) — colliding two scans of one
+    case onto a single patch directory (the second silently overwrites the
+    first's loc.txt and PNGs). Unconditional bug fix (SURVEY §2.4): strip a
+    recognized extension only, keep every other dot."""
+    base = os.path.basename(name)
+    stem, ext = os.path.splitext(base)
+    return stem if ext.lower() in SLIDE_EXTS else base
+
+
 def open_slide(path: str):
     if path.lower().endswith((".svs", ".ndpi", ".mrxs", ".tiff", ".tif")):
         try:
@@ -491,7 +508,7 @@ def extract_patches(
 ) -> int:
     """Tile one slide; returns the number of patches written."""
     if slide_id is None:
-        slide_id = os.path.splitext(os.path.basename(slide_path))[0]
+        slide_id = slide_id_for(slide_path)
     patch_dir = os.path.join(patch_path, slide_id)
     mask_dir = os.path.join(mask_path, slide_id)
     os.makedirs(patch_dir, exist_ok=True)

@@ -164,15 +164,6 @@ def quantize_resnet(variables: dict, amax: dict, *,
 # --- int8 forward ------------------------------------------------------------
 
 
-def _qconv(x_q, s_in, cp, *, stride=1, padding="SAME"):
-    """int8 conv with fused dequant epilogue → f32 (pre-activation)."""
-    y32 = lax.conv_general_dilated(
-        x_q, cp["k"], (stride, stride), padding, dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
-    )
-    return y32.astype(jnp.float32) * (s_in * cp["ws"]) + cp["b"]
-
-
 def _requant(y, s):
     return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
 

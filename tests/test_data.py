@@ -307,6 +307,41 @@ def test_tiler_roundtrip(tmp_path):
     assert b["patch_bag"].shape == (1, 1, 64, 64, 3)
 
 
+def test_tiler_dotted_slide_ids_do_not_collide(tmp_path):
+    """TCGA names embed a UUID after a dot; the reference's get_slide_id
+    (1_WSI2Patches.py:135-136, split('.')[0]) collapses two scans of one
+    case onto one patch dir. Unconditional fix (SURVEY §2.4): only a known
+    slide extension is stripped, so the ids stay distinct."""
+    from multimodalbrainsurvival_tpu.data.tiler import (
+        TileConfig,
+        extract_patches,
+        slide_id_for,
+    )
+    import cv2
+
+    assert slide_id_for("CASE-DX1.83fce43e.svs") == "CASE-DX1.83fce43e"
+    assert slide_id_for("/x/CASE-DX1.83fce43e") == "CASE-DX1.83fce43e"
+    assert slide_id_for("plain.png") == "plain"
+
+    rng = np.random.default_rng(1)
+    cfg = TileConfig(patch_size=64, max_patches_per_slide=4)
+    patch_path, mask_path = str(tmp_path / "p"), str(tmp_path / "m")
+    ids = []
+    for uuid in ("aaaa1111", "bbbb2222"):
+        slide = np.full((256, 256, 3), 255, np.uint8)
+        blob = rng.integers(0, 60, size=(128, 128, 3), dtype=np.uint8)
+        slide[64:192, 64:192] = np.array([200, 120, 160], np.uint8) - blob // 2
+        path = str(tmp_path / f"CASE-DX1.{uuid}.png")
+        cv2.imwrite(path, slide[:, :, ::-1])
+        assert extract_patches(path, patch_path, mask_path, cfg) > 0
+        ids.append(f"CASE-DX1.{uuid}")
+    # both scans tiled into their OWN directories, nothing overwritten
+    for sid in ids:
+        lines = open(os.path.join(patch_path, sid, "loc.txt")).read().splitlines()
+        assert lines[0] == f"slide_id {sid}"
+        assert len(lines) > 2
+
+
 def test_abandoned_batches_generator_releases_producer(patch_root):
     """Dropping a batches() generator (probe pattern) must not leak the
     producer thread or keep prefetched batches pinned."""

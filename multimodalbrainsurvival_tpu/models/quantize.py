@@ -212,6 +212,12 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
     """
     basic = arch in BASIC_ARCHS
     s = qtree["scales"]
+    # the stem stays the plain 7×7/2 int8 conv: an exactly-equivalent
+    # space-to-depth rewrite (bitwise-equal int32 sums, 2.9× faster
+    # ISOLATED) measured NEUTRAL at batch 512 and 14% SLOWER at 1024
+    # in-program — the pixel shuffle materializes a full-resolution int8
+    # tensor and breaks the preprocess→stem fusion (DESIGN item 21; the
+    # bf16 twin of this negative result is item 5)
     y_q = _requant(x.astype(jnp.float32), s["in"])
     y_q = _qconv_q(y_q, s["in"], qtree["conv1"], s["stem"], stride=2,
                    padding=((3, 3), (3, 3)))

@@ -13,6 +13,13 @@ Usage: python benchmarks/serving_bench.py [--n_slides 4] [--patches 64]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+# the venv's editable install can vanish mid-session (see
+# .claude/skills/verify/SKILL.md); standalone scripts import the repo
+# checkout defensively
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import shutil

@@ -33,6 +33,13 @@ Usage: python benchmarks/train_bench.py [--batch 32] [--bag 4]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+# the venv's editable install can vanish mid-session (see
+# .claude/skills/verify/SKILL.md); standalone scripts import the repo
+# checkout defensively
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 from functools import partial

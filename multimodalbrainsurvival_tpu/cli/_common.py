@@ -148,10 +148,9 @@ def make_device_put(config: Config):
 
     mesh = make_mesh(dp=dp, mp=mp)
     print(f"training over mesh {dict(mesh.shape)}")
-    put = batch_device_put(mesh, shard_bag=shard_bag)
-    put.mesh = mesh  # callers that must co-locate params (serving) need it
-    put.shard_bag = shard_bag  # the mesh-sharded cache mirrors this layout
-    return put
+    # batch_device_put attaches .mesh / .shard_bag for callers that must
+    # co-locate params (serving replication, elastic checkpoint restore)
+    return batch_device_put(mesh, shard_bag=shard_bag)
 
 
 def restore_maybe_folded(config: Config, adapter, init_adapter, probe, seed: int):

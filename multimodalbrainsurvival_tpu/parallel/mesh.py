@@ -79,4 +79,9 @@ def batch_device_put(mesh: Mesh, *, shard_bag: bool = False):
             out[k] = jax.device_put(v, NamedSharding(mesh, spec))
         return out
 
+    # callers that must co-locate params with the sharded batches (serving
+    # replication, elastic checkpoint restore in train/loop.py) read the mesh
+    # back off the put function
+    put.mesh = mesh
+    put.shard_bag = shard_bag
     return put

@@ -549,6 +549,28 @@ def train_model(
         if batch_stats is not None:
             batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
+        # Elastic recovery: the checkpoint is topology-free, but orbax
+        # restores arrays COMMITTED to the template's devices (device 0).
+        # When this run trains over a mesh (settings.device_put_fn carries
+        # it), committed single-device params would clash with the
+        # dp-sharded batches inside jit — re-place the restored state
+        # replicated over THIS run's mesh, whatever shape the mesh that
+        # wrote the checkpoint had (tested: grow/shrink/appear in
+        # tests/test_preemption.py::test_resume_is_elastic_across_mesh_shapes).
+        mesh = getattr(settings.device_put_fn, "mesh", None)
+        if mesh is not None:
+            from multimodalbrainsurvival_tpu.parallel.sharding import (
+                replicated_shardings,
+            )
+
+            params, opt_state = jax.device_put(
+                (params, opt_state),
+                replicated_shardings((params, opt_state), mesh),
+            )
+            if batch_stats is not None:
+                batch_stats = jax.device_put(
+                    batch_stats, replicated_shardings(batch_stats, mesh)
+                )
         step = int(restored["meta"]["step"])
         best_val_loss = float(restored["meta"]["best_val_loss"])
         if best_val_loss >= 1e30:  # the _full_state sentinel for "no best yet"
@@ -557,6 +579,12 @@ def train_model(
         restored_rng = restored["meta"].get("rng")
         if restored_rng is not None:
             rng = jnp.asarray(restored_rng)
+            if mesh is not None:  # committed to device 0 by the restore, like
+                from multimodalbrainsurvival_tpu.parallel.sharding import (
+                    replicated_shardings,  # params above — re-place on the mesh
+                )
+
+                rng = jax.device_put(rng, replicated_shardings(rng, mesh))
         resumed_epoch_step = int(restored["meta"].get("epoch_step", 0))
         if resumed_epoch_step > 0:
             # mid-epoch (preemption) checkpoint: re-enter the SAME epoch and

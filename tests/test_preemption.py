@@ -303,6 +303,77 @@ def test_loader_skip_batches_matches_suffix(tmp_path):
         assert a["WSI"] == b["WSI"]
 
 
+def test_resume_is_elastic_across_mesh_shapes(tmp_path):
+    """Elastic recovery (SURVEY.md §5): the full-state checkpoint is
+    topology-free. A run preempted while training over a dp=2 mesh resumes
+    over a dp=4 mesh — or with no mesh at all — and lands on the params of an
+    uninterrupted single-device run (up to fp32 cross-device reduction order;
+    SGD is used so reduction-order noise stays sub-ulp instead of being
+    amplified by Adam's g/√(g²) — see test_dp_training_step_matches_single_device).
+    """
+    import optax
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put, make_mesh
+    from multimodalbrainsurvival_tpu.train import (
+        TrainingPreempted,
+        TrainSettings,
+        train_model,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(16)], n_rna=8, seed=4)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+
+    def make():
+        return TableAdapter(
+            model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8),
+                                                  dropout=0.0))
+        )
+
+    def settings(save_dir, *, dp=None, resume=False, preempt_after=0):
+        return TrainSettings(
+            num_epochs=3, batch_size=8, save_dir=save_dir, seed=17,
+            eval_splits_during_training=(), resume=resume,
+            preempt_after_steps=preempt_after,
+            device_put_fn=batch_device_put(make_mesh(dp=dp, mp=1))
+            if dp else None,
+        )
+
+    # uninterrupted single-device control (3 epochs × 2 batches)
+    v_straight, _, _ = train_model(
+        make(), {"train": ds}, optax.sgd(1e-2),
+        settings(str(tmp_path / "a")),
+    )
+
+    def preempt_then_resume(name, *, dp_before, dp_after):
+        with pytest.raises(TrainingPreempted) as exc:
+            train_model(make(), {"train": ds}, optax.sgd(1e-2),
+                        settings(str(tmp_path / name), dp=dp_before,
+                                 preempt_after=3))
+        assert (exc.value.epoch, exc.value.epoch_step) == (1, 1)
+        v, _, _ = train_model(
+            make(), {"train": ds}, optax.sgd(1e-2),
+            settings(str(tmp_path / name), dp=dp_after, resume=True),
+        )
+        for (pa, xa), (_, xb) in zip(
+            jax.tree_util.tree_leaves_with_path(v_straight["params"]),
+            jax.tree_util.tree_leaves_with_path(v["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-6,
+                err_msg=f"{name}: {jax.tree_util.keystr(pa)}",
+            )
+
+    # grow the mesh across the restart, shrink it away entirely, and
+    # introduce one where there was none
+    preempt_then_resume("grow", dp_before=2, dp_after=4)
+    preempt_then_resume("shrink", dp_before=4, dp_after=None)
+    preempt_then_resume("appear", dp_before=None, dp_after=8)
+
+
 def test_sigterm_triggers_emergency_checkpoint_in_subprocess(tmp_path):
     """Real signal delivery: SIGTERM a training subprocess mid-run; it must
     commit the emergency checkpoint, report PREEMPTED, and exit cleanly; a

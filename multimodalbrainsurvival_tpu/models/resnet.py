@@ -103,9 +103,17 @@ class TorchBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
-def _make_norm(fold_bn: bool, train: bool):
+def _make_norm(fold_bn: bool, train: bool, dtype: Any = jnp.float32):
     """BN factory; with fold_bn the affine lives inside the conv bias
-    (``models/folding.py``) and the norm is the identity."""
+    (``models/folding.py``) and the norm is the identity.
+
+    ``dtype`` is the dtype the normalized activations are MATERIALIZED in —
+    the model's compute dtype. Statistics and the normalize arithmetic stay
+    float32 inside the fusion regardless; emitting f32 from every BN in a
+    bf16 model doubled the bytes written+read at every BN/ReLU/residual
+    boundary of the training path (the convs immediately cast back to bf16),
+    which trace attribution showed dominating the full-backward step
+    (docs/DESIGN.md training-attribution item)."""
     if fold_bn:
         return lambda name=None: _Identity(name=name)
     return partial(
@@ -113,7 +121,7 @@ def _make_norm(fold_bn: bool, train: bool):
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
-        dtype=jnp.float32,
+        dtype=dtype,
     )
 
 
@@ -191,7 +199,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _make_norm(self.fold_bn, train)
+        norm = _make_norm(self.fold_bn, train, self.dtype)
         conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
@@ -220,7 +228,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _make_norm(self.fold_bn, train)
+        norm = _make_norm(self.fold_bn, train, self.dtype)
         conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
@@ -275,7 +283,7 @@ class ResNet(nn.Module):
             _Identity(name="bn1")
             if self.fold_bn
             else TorchBatchNorm(
-                momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="bn1"
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1"
             )
         )
         for i, n_blocks in enumerate(self.stage_sizes):

@@ -303,6 +303,54 @@ def test_loader_skip_batches_matches_suffix(tmp_path):
         assert a["WSI"] == b["WSI"]
 
 
+def test_sigkill_mid_save_leaves_resumable_state(tmp_path):
+    """A SIGKILL during the emergency save must not break resume: orbax
+    commits via tmp-dir + atomic rename, so a killed save leaves only an
+    ``*.orbax-checkpoint-tmp-*`` orphan and never a half-written final dir.
+    Simulate the aftermath (orphan tmp dir, no final ``.preempt``) and assert
+    resume falls back to the boundary checkpoint and completes."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.train import TrainSettings, train_model
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+
+    make_survival_csv(str(tmp_path / "rna.csv"),
+                      [f"c{i}" for i in range(16)], n_rna=8, seed=4)
+    ds = RNATableDataset(str(tmp_path / "rna.csv"))
+
+    def make():
+        return TableAdapter(
+            model=RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8)))
+        )
+
+    def settings(*, num_epochs, resume=False):
+        return TrainSettings(
+            num_epochs=num_epochs, batch_size=8, seed=17,
+            save_dir=str(tmp_path / "run"),
+            eval_splits_during_training=(), resume=resume,
+        )
+
+    # epoch-boundary checkpoints committed through epoch 1
+    train_model(make(), {"train": ds}, optax.adam(1e-3),
+                settings(num_epochs=2))
+
+    # aftermath of a SIGKILL mid-emergency-save: an orphan tmp dir only
+    orphan = tmp_path / "run" / (
+        "train_state.preempt.orbax-checkpoint-tmp-1234567890"
+    )
+    orphan.mkdir()
+    (orphan / "partial_write").write_bytes(b"\x00" * 64)
+    assert not (tmp_path / "run" / "train_state.preempt").exists()
+
+    v, _, _ = train_model(make(), {"train": ds}, optax.adam(1e-3),
+                          settings(num_epochs=3, resume=True))
+    # resumed from the epoch-1 boundary state and ran the remaining epoch
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(v["params"]))
+
+
 def test_resume_is_elastic_across_mesh_shapes(tmp_path):
     """Elastic recovery (SURVEY.md §5): the full-state checkpoint is
     topology-free. A run preempted while training over a dp=2 mesh resumes

@@ -41,8 +41,14 @@ from collections import defaultdict
 import numpy as np
 
 
-def attribute_trace(trace_dir: str, hlo: str) -> dict[str, float]:
-    """trace events + optimized HLO text → {conv-shape or op label: total ms}."""
+def attribute_trace(
+    trace_dir: str, hlo: str, *, split_unmatched: bool = False
+) -> dict[str, float]:
+    """trace events + optimized HLO text → {conv-shape or op label: total ms}.
+
+    ``split_unmatched=True`` keys ops with no conv inside by their FULL HLO
+    op name instead of the ``[name-prefix]`` family bucket — use it to open
+    up an opaque ``[fusion]`` total into its individual fusions."""
     comps = {}
     for m in re.finditer(
         r"^%?([\w.\-]+) \([^)]*\) -> [^\{]*\{\n(.*?)^\}", hlo, re.S | re.M
@@ -91,7 +97,10 @@ def attribute_trace(trace_dir: str, hlo: str) -> dict[str, float]:
         found_ops_line = True
         name = e.get("name", "")
         sig = sig_of.get(name.split(".(")[0]) or sig_of.get(name)
-        by_sig[sig or f"[{name.split('.')[0]}]"] += e.get("dur", 0) / 1e3
+        if sig is None:
+            sig = (name if split_unmatched
+                   else f"[{name.split('.')[0]}]")
+        by_sig[sig] += e.get("dur", 0) / 1e3
     if not found_ops_line:
         raise RuntimeError(
             "trace has no 'XLA Ops' device thread line — profiler format "

@@ -117,6 +117,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--n_layers_to_train", type=int, default=2)
     p.add_argument("--trace-dir", default=None)
+    p.add_argument("--split-unmatched", action="store_true",
+                   help="key non-conv ops by full HLO op name (opens up "
+                        "the [fusion] bucket)")
     a = p.parse_args(argv)
 
     import jax
@@ -142,7 +145,8 @@ def main(argv=None):
     jax.block_until_ready(state[0])
     jax.profiler.stop_trace()
 
-    by_sig = attribute_trace(trace_dir, hlo)
+    by_sig = attribute_trace(trace_dir, hlo,
+                             split_unmatched=a.split_unmatched)
     print("\nper-group device ms/step (conv output shape, or [op]):")
     total = sum(by_sig.values())
     for sig, ms in sorted(by_sig.items(), key=lambda kv: -kv[1])[:25]:

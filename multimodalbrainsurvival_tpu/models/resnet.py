@@ -99,6 +99,12 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * (
                     var * (n / max(n - 1, 1))
                 )
+        # NOTE: rewriting this chain as a precomputed per-channel affine
+        # (x*sf+off, the folding algebra) measured NEUTRAL on v5e —
+        # 49.67 vs 49.73 ms/step on the full-backward flagship step — XLA
+        # already folds the channel vectors out of the big-tensor chain, so
+        # the simpler formulation (which matches torch's op order in f32)
+        # stays (docs/DESIGN.md item 22).
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 

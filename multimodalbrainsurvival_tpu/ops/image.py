@@ -75,7 +75,7 @@ def hsv_to_rgb(hsv: jax.Array) -> jax.Array:
 
 
 def _grayscale(img: jax.Array) -> jax.Array:
-    return jnp.einsum("...c,c->...", img, _GRAY_W)
+    return jnp.einsum("...c,c->...", img, _GRAY_W.astype(img.dtype))
 
 
 def color_jitter(
@@ -154,6 +154,14 @@ def batched_color_jitter(
     kb, kc, ks, kh, kf1, kf2 = jax.random.split(key, 6)
     shape4 = (N, 1, 1, 1)
 
+    # factors are DRAWN in f32 (identical random stream regardless of the
+    # image dtype) then cast, so a bf16 pipeline jitters with the same
+    # factors an f32 one would
+    def _factor(k, lo, hi):
+        return jax.random.uniform(
+            k, shape4, minval=lo, maxval=hi
+        ).astype(imgs.dtype)
+
     # random H/V flips (per image)
     flip_h = jax.random.bernoulli(kf1, shape=shape4)
     flip_v = jax.random.bernoulli(kf2, shape=shape4)
@@ -161,27 +169,20 @@ def batched_color_jitter(
     imgs = jnp.where(flip_v, imgs[:, ::-1, :, :], imgs)
 
     if brightness > 0:
-        f = jax.random.uniform(
-            kb, shape4, minval=max(0.0, 1.0 - brightness),
-            maxval=1.0 + brightness,
-        )
+        f = _factor(kb, max(0.0, 1.0 - brightness), 1.0 + brightness)
         imgs = jnp.clip(imgs * f, 0.0, 1.0)
     if contrast > 0:
-        f = jax.random.uniform(
-            kc, shape4, minval=max(0.0, 1.0 - contrast),
-            maxval=1.0 + contrast,
-        )
+        f = _factor(kc, max(0.0, 1.0 - contrast), 1.0 + contrast)
         mean = jnp.mean(_grayscale(imgs), axis=(1, 2), keepdims=True)[..., None]
         imgs = jnp.clip(f * imgs + (1.0 - f) * mean, 0.0, 1.0)
     if saturation > 0:
-        f = jax.random.uniform(
-            ks, shape4, minval=max(0.0, 1.0 - saturation),
-            maxval=1.0 + saturation,
-        )
+        f = _factor(ks, max(0.0, 1.0 - saturation), 1.0 + saturation)
         gray = _grayscale(imgs)[..., None]
         imgs = jnp.clip(f * imgs + (1.0 - f) * gray, 0.0, 1.0)
     if hue > 0:
-        d = jax.random.uniform(kh, shape4[:3], minval=-hue, maxval=hue)
+        d = jax.random.uniform(
+            kh, shape4[:3], minval=-hue, maxval=hue
+        ).astype(imgs.dtype)
         hsv = rgb_to_hsv(imgs)
         imgs = _hsv_to_rgb_arith(
             (hsv[..., 0] + d) % 1.0, hsv[..., 1], hsv[..., 2]
@@ -208,7 +209,15 @@ def preprocess_patches(
     """
     lead = images_uint8.shape[:-3]
     H, W, C = images_uint8.shape[-3:]
-    flat = images_uint8.reshape((-1, H, W, C)).astype(jnp.float32) / 255.0
+    # The whole chain runs in the model's compute dtype: in a bf16 model the
+    # output is rounded to bf16 at the conv anyway, and the f32 jitter chain
+    # measured ~1.7 ms/step of pure VPU work at b128x224^2 (hue HSV round
+    # trip alone 0.9 ms — docs/DESIGN.md item 22's trace). Reductions inside
+    # (contrast/saturation grayscale means) still accumulate f32 (jnp
+    # upcasts half-precision reductions); eval and f32 models are unchanged.
+    flat = images_uint8.reshape((-1, H, W, C)).astype(dtype) / jnp.asarray(
+        255.0, dtype
+    )
     if train:
         if key is None:
             raise ValueError("train=True requires a PRNG key")

@@ -55,6 +55,11 @@ def main(argv=None):
     p.add_argument("--n_layers_to_train", type=int, default=2)
     p.add_argument("--method", choices=("dispatch", "fori"),
                    default="dispatch")
+    p.add_argument("--remat", action="store_true",
+                   help="per-block activation checkpointing (remat: true)")
+    p.add_argument("--memory", action="store_true",
+                   help="AOT-compile the step and print memory_analysis "
+                        "instead of executing (works even for OOM shapes)")
     a = p.parse_args(argv)
 
     import jax
@@ -73,7 +78,7 @@ def main(argv=None):
     )
 
     model = AggregationModel(
-        resnet=resnet50(dtype=jnp.bfloat16),
+        resnet=resnet50(dtype=jnp.bfloat16, remat_blocks=a.remat),
         aggregator=make_aggregator("attention", dim=2048, dtype=jnp.bfloat16),
         aggregator_dim=2048,
     )
@@ -126,6 +131,25 @@ def main(argv=None):
         return optax.apply_updates(params, updates), new_stats, new_opt, key
 
     step = jax.jit(one_step)
+
+    if a.memory:
+        # AOT: lower + compile only — memory_analysis is available without
+        # running (and without the allocation that an OOM shape would fail)
+        compiled = step.lower(
+            variables["params"], variables["batch_stats"], opt_state,
+            jax.random.PRNGKey(0),
+        ).compile()
+        m = compiled.memory_analysis()
+        gib = 1 << 30
+        print(
+            f"batch={B} bag={bag} n_layers={a.n_layers_to_train} "
+            f"remat={a.remat}:\n"
+            f"  temp   {m.temp_size_in_bytes / gib:.2f} GiB\n"
+            f"  args   {m.argument_size_in_bytes / gib:.2f} GiB\n"
+            f"  output {m.output_size_in_bytes / gib:.2f} GiB\n"
+            f"  total  {(m.temp_size_in_bytes + m.argument_size_in_bytes) / gib:.2f} GiB"
+        )
+        return
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1, 2))
     def train_n(params, batch_stats, opt_state, key, n):

@@ -40,7 +40,12 @@ from multimodalbrainsurvival_tpu.train.optim import (
 
 def build_mil_model(config, fold_bn: bool = False) -> AggregationModel:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype, fold_bn=fold_bn)
+    resnet = RESNET_CONSTRUCTORS[config.model_name](
+        dtype=dtype, fold_bn=fold_bn,
+        # remat: true (TPU-native extension) — per-block activation
+        # checkpointing so full-slide bags fine-tune deep stacks in HBM
+        remat_blocks=bool(config.get("remat", False)),
+    )
     aggregator = make_aggregator(
         config.aggregator,
         dim=resnet.feature_dim,

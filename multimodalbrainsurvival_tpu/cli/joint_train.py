@@ -42,7 +42,10 @@ JOINT_LADDER = ("resnet/fc", "resnet/layer4", "resnet/layer3",
 
 def build_joint_model(config, fold_bn: bool = False) -> BagHistopathologyRNAModel:
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    resnet = RESNET_CONSTRUCTORS[config.model_name](dtype=dtype, fold_bn=fold_bn)
+    resnet = RESNET_CONSTRUCTORS[config.model_name](
+        dtype=dtype, fold_bn=fold_bn,
+        remat_blocks=bool(config.get("remat", False)),
+    )
     # `dropout` (TPU-native extension) overrides BOTH hardcoded reference
     # rates — the RNA encoder's 0.5 and the fusion head's 0.8
     # (1_JointFusion_train.py:314-323) — e.g. 0 for deterministic golden runs

@@ -272,6 +272,16 @@ class ResNet(nn.Module):
     # variables). Removes all standalone BN elementwise passes and their
     # f32<->bf16 converts from the serving path.
     fold_bn: bool = False
+    # remat_blocks=True: per-residual-block activation checkpointing
+    # (jax.checkpoint via nn.remat). Backward recomputes each block's
+    # intermediates from its input instead of holding every conv/BN/ReLU
+    # activation of the whole network live — peak training memory drops from
+    # O(all intermediates) to O(block inputs + one block), at ~1/3 extra
+    # forward FLOPs. This is the lever that lets FULL-SLIDE bags
+    # (thousands of patches/WSI, SURVEY §2.2's CP analog) fine-tune deep
+    # stacks within one chip's HBM. Param tree and numerics are unchanged
+    # (tests/test_models.py pins grads + batch_stats equality).
+    remat_blocks: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -292,12 +302,17 @@ class ResNet(nn.Module):
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1"
             )
         )
+        # args of block.__call__ are (self, x, train); train is static
+        block_cls = (
+            nn.remat(self.block_cls, static_argnums=(2,))
+            if self.remat_blocks else self.block_cls
+        )
         for i, n_blocks in enumerate(self.stage_sizes):
             blocks = []
             for j in range(n_blocks):
                 strides = 2 if (i > 0 and j == 0) else 1
                 blocks.append(
-                    self.block_cls(
+                    block_cls(
                         filters=self.num_filters * (2**i),
                         strides=strides,
                         dtype=self.dtype,
@@ -331,7 +346,8 @@ class ResNet(nn.Module):
         )
         for i in range(len(self.stage_sizes)):
             for block in getattr(self, f"layer{i + 1}"):
-                y = block(y, train=train)
+                # positional `train`: it is static_argnums=(2,) under remat
+                y = block(y, train)
         y = jnp.mean(y, axis=(1, 2))  # global average pool
         return y.astype(jnp.float32)
 

@@ -304,3 +304,39 @@ def test_in_channels_is_enforced():
     m4 = rnfour("resnet18")
     with pytest.raises(ValueError, match="in_channels=4"):
         m4.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+def test_remat_blocks_is_numerically_identical():
+    """remat_blocks=True (per-block jax.checkpoint, the full-slide memory
+    lever) must change NOTHING numerically: same param/batch_stats tree,
+    same forward, bitwise-same grads and BN running-stat updates — it only
+    changes what the backward pass rematerializes."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    plain = resnet18()
+    remat = resnet18(remat_blocks=True)
+    v = plain.init(jax.random.PRNGKey(4), x, train=False)
+    assert (
+        jax.tree_util.tree_structure(v)
+        == jax.tree_util.tree_structure(
+            remat.init(jax.random.PRNGKey(4), x, train=False)
+        )
+    )
+
+    def loss_fn(model, params):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2), upd["batch_stats"]
+
+    (l0, bs0), g0 = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(plain, p), has_aux=True)
+    )(v["params"])
+    (l1, bs1), g1 = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(remat, p), has_aux=True)
+    )(v["params"])
+    assert float(l0) == float(l1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (g0, bs0), (g1, bs1),
+    )

@@ -78,11 +78,17 @@ def main(argv=None):
             )
             opt_state = tx.init(variables["params"])
             rng = np.random.default_rng(0)
-            x = jnp.asarray(rng.integers(
-                0, 255, size=(B, bag, 224, 224, 3), dtype=np.uint8))
-            t = jnp.asarray(rng.uniform(1, 100, B).astype(np.float32))
-            e = jnp.ones((B,), jnp.float32)
-            mask = jnp.ones((B, bag), bool)
+            # the batch rides as jit ARGUMENTS, not closure constants —
+            # baked-in multi-hundred-MB uint8 constants blow the remote
+            # compile tunnel's request limit (HTTP 413) and would distort
+            # temp-memory accounting
+            batch = dict(
+                x=rng.integers(0, 255, size=(B, bag, 224, 224, 3),
+                               dtype=np.uint8),
+                t=rng.uniform(1, 100, B).astype(np.float32),
+                e=np.ones((B,), np.float32),
+                mask=np.ones((B, bag), bool),
+            )
 
             def tie_off(p):
                 return jax.tree.map(
@@ -90,20 +96,22 @@ def main(argv=None):
                     if lab == "_frozen" else leaf, p, labels,
                 )
 
-            def one_step(params, batch_stats, opt_state, key):
+            def one_step(params, batch_stats, opt_state, key, batch):
                 key, sub = jax.random.split(key)
                 k1, k2 = jax.random.split(sub)
 
                 def loss_fn(p):
                     p = tie_off(p)
-                    h = preprocess_patches(x, train=True, key=k1,
+                    h = preprocess_patches(batch["x"], train=True, key=k1,
                                            dtype=jnp.bfloat16)
                     (out, _), upd = model.apply(
                         {"params": p, "batch_stats": batch_stats}, h,
-                        mask=mask, train=True, mutable=["batch_stats"],
+                        mask=batch["mask"], train=True,
+                        mutable=["batch_stats"],
                         rngs={"dropout": k2},
                     )
-                    return (cox_partial_likelihood_loss(out[:, 0], t, e),
+                    return (cox_partial_likelihood_loss(
+                                out[:, 0], batch["t"], batch["e"]),
                             upd["batch_stats"])
 
                 (loss, new_stats), grads = jax.value_and_grad(
@@ -113,9 +121,11 @@ def main(argv=None):
                         new_opt, key)
 
             step = jax.jit(one_step)
+            batch_shapes = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), batch)
             compiled = step.lower(
                 variables["params"], variables["batch_stats"], opt_state,
-                jax.random.PRNGKey(0),
+                jax.random.PRNGKey(0), batch_shapes,
             ).compile()
             m = compiled.memory_analysis()
             total = (m.temp_size_in_bytes + m.argument_size_in_bytes) / gib
@@ -128,11 +138,13 @@ def main(argv=None):
                          jax.device_put(variables["batch_stats"]),
                          jax.device_put(opt_state),
                          jax.device_put(jax.random.PRNGKey(1))]
-                state[:] = step(*state)  # warm (reuses AOT cache)
+                dev_batch = jax.device_put(
+                    jax.tree.map(jnp.asarray, batch))
+                state[:] = step(*state, dev_batch)  # warm (reuses AOT cache)
                 jax.block_until_ready(state[0])
                 t0 = time.perf_counter()
                 for _ in range(a.iters):
-                    state[:] = step(*state)
+                    state[:] = step(*state, dev_batch)
                 jax.block_until_ready(state[0])
                 dt = time.perf_counter() - t0
                 line += (f"  {B * a.iters / dt:8.1f} bags/s "

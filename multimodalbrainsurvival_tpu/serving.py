@@ -2,10 +2,18 @@
 
 The reference deploys by shipping a ``.pt`` state_dict plus the Python model
 code that rebuilds it (``3_HistoPath_savescore.py:228-349``). Here the whole
-serving computation — uint8 patches → on-device normalize → (optionally
-BN-folded / int8-quantized) ResNet → MIL aggregator → embedding, scores and
-per-patch attention — is exported as ONE self-contained StableHLO artifact
-with the weights baked in:
+serving computation is exported as ONE self-contained StableHLO artifact
+with the weights baked in, for every model family:
+
+- ``mil_serving`` — uint8 patches → on-device normalize → (optionally
+  BN-folded / int8-quantized) ResNet → MIL aggregator → embedding, scores
+  and per-patch attention,
+- ``table_serving`` — RNA MLP (scores + 2048-d embedding) and the
+  early-fusion MLP (scores),
+- ``joint_serving`` — bimodal patch bag ⊕ RNA through the trained fusion
+  head (embedding + scores, float or int8 ResNet).
+
+Properties:
 
 - **no model code at serving time**: the artifact is loadable by any JAX
   process (``load_artifact``) without this package's model classes,
@@ -139,9 +147,190 @@ def export_mil_artifact(
     return meta
 
 
+def _table_serving_fn(model, variables: dict):
+    """(data (B, F) f32) → {scores (B, out)[, embedding (B, D)]} with the
+    weights closed over. Covers the RNA MLP (``RNAOnlyModel`` — has an
+    ``extract`` embedding path) and the early-fusion MLP (``EarlyFusionMLP``
+    — scores only, like the reference's ``3_EarlyFusion_savescore.py``).
+    """
+    import jax.numpy as jnp
+
+    has_extract = callable(getattr(type(model), "extract", None))
+
+    def fn(data):
+        out = {
+            "scores": model.apply(variables, data, train=False).astype(
+                jnp.float32
+            )
+        }
+        if has_extract:
+            out["embedding"] = model.apply(
+                variables, data, train=False, method="extract"
+            ).astype(jnp.float32)
+        return out
+
+    return fn
+
+
+def export_table_artifact(
+    model,
+    variables: dict,
+    out_dir: str,
+    *,
+    in_features: int,
+    kind: str = "table_serving",
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+    extra_meta: dict | None = None,
+) -> dict:
+    """Export a feature-vector serving artifact (RNA / early-fusion MLP)."""
+    import jax
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    fn = _table_serving_fn(model, variables)
+    (b,) = jax_export.symbolic_shape("b")
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((b, in_features), jnp.float32)
+    )
+    blob = exported.serialize()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
+        f.write(blob)
+    returns = "dict(scores (b, C) f32"
+    if callable(getattr(type(model), "extract", None)):
+        returns += ", embedding (b, D) f32"
+    returns += ")"
+    meta = {
+        "artifact": ARTIFACT_FILE,
+        "kind": kind,
+        "in_features": in_features,
+        "quantize": "",
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention": {
+            "args": [f"data float32 (b, {in_features})"],
+            "returns": returns,
+        },
+        "size_bytes": len(blob),
+    }
+    meta.update(extra_meta or {})
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def _joint_serving_fn(model, variables: dict, arch: str):
+    """(patch_bag uint8 (B,bag,H,W,C), bag_mask (B,bag) f32,
+    rna_data (B,R) f32) → {embedding (B,4096), scores (B,out)} for the
+    bimodal ``BagHistopathologyRNAModel`` (float or int8 per
+    ``variables["qtree"]``, mirroring ``QuantizedJointAdapter``)."""
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+    qtree = variables.get("qtree")
+    tail_vars = {"params": variables["params"]}
+    rn_vars = {"params": variables["params"]["resnet"]}
+    if "batch_stats" in variables:
+        tail_vars["batch_stats"] = variables["batch_stats"]
+        rn_vars["batch_stats"] = variables["batch_stats"]["resnet"]
+    dtype = model.resnet.dtype
+
+    def fn(patch_bag, bag_mask, rna_data):
+        x = preprocess_patches(
+            patch_bag, train=False,
+            dtype=jnp.float32 if qtree is not None else dtype,
+        )
+        B, bag = x.shape[:2]
+        flat = x.reshape((B * bag,) + x.shape[2:])
+        if qtree is not None:
+            from multimodalbrainsurvival_tpu.models.quantize import (
+                quantized_extract,
+            )
+
+            feats = quantized_extract(qtree, flat, arch=arch)
+        else:
+            feats = model.resnet.apply(rn_vars, flat, train=False,
+                                       method="extract")
+        feats = feats.reshape(B, bag, -1)
+        emb = model.apply(
+            tail_vars, feats, rna_data, mask=bag_mask, train=False,
+            method="extract_from_feats",
+        )
+        scores = model.apply(
+            tail_vars, feats, rna_data, mask=bag_mask, train=False,
+            method="from_feats",
+        )
+        return {
+            "embedding": emb.astype(jnp.float32),
+            "scores": scores.astype(jnp.float32),
+        }
+
+    return fn
+
+
+def export_joint_artifact(
+    model,
+    variables: dict,
+    out_dir: str,
+    *,
+    img_size: int,
+    rna_features: int,
+    in_channels: int = 3,
+    arch: str = "resnet50",
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+    extra_meta: dict | None = None,
+) -> dict:
+    """Export a bimodal (patch bag ⊕ RNA) serving artifact."""
+    import jax
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    fn = _joint_serving_fn(model, variables, arch)
+    b, g = jax_export.symbolic_shape("b, g")
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((b, g, img_size, img_size, in_channels),
+                             jnp.uint8),
+        jax.ShapeDtypeStruct((b, g), jnp.float32),
+        jax.ShapeDtypeStruct((b, rna_features), jnp.float32),
+    )
+    blob = exported.serialize()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
+        f.write(blob)
+    meta = {
+        "artifact": ARTIFACT_FILE,
+        "kind": "joint_serving",
+        "arch": arch,
+        "img_size": img_size,
+        "in_channels": in_channels,
+        "rna_features": rna_features,
+        "quantize": "int8" if variables.get("qtree") is not None else "",
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention": {
+            "args": [
+                f"patch_bag uint8 (b, g, {img_size}, {img_size}, "
+                f"{in_channels})",
+                "bag_mask float32 (b, g) — 1.0 real patch, 0.0 pad",
+                f"rna_data float32 (b, {rna_features})",
+            ],
+            "returns": "dict(embedding (b, D) f32, scores (b, C) f32)",
+        },
+        "size_bytes": len(blob),
+    }
+    meta.update(extra_meta or {})
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
 @dataclass
 class ExportedServing:
-    """A deserialized serving artifact: ``call(patch_bag, bag_mask)``.
+    """A deserialized serving artifact: ``call(*args)`` per the artifact's
+    ``meta["calling_convention"]`` — ``(patch_bag, bag_mask)`` for
+    ``mil_serving``, ``(data,)`` for ``table_serving``, and
+    ``(patch_bag, bag_mask, rna_data)`` for ``joint_serving``.
 
     Carries no dependency on this package's model classes — only jax.
     """
@@ -149,8 +338,8 @@ class ExportedServing:
     exported: Any
     meta: dict
 
-    def call(self, patch_bag, bag_mask):
-        return self.exported.call(patch_bag, bag_mask)
+    def call(self, *args):
+        return self.exported.call(*args)
 
 
 def load_artifact(path: str) -> ExportedServing:

@@ -91,6 +91,165 @@ def test_export_roundtrip_is_shape_polymorphic(tmp_path):
         assert np.all(np.asarray(got["attention"])[:, -1] == 0)
 
 
+def test_export_table_roundtrip_rna_and_feature(tmp_path):
+    """table_serving artifacts: the RNA MLP exports scores + embedding, the
+    early-fusion MLP (no extract path, like the reference's
+    3_EarlyFusion_savescore.py) scores only; both batch-polymorphic."""
+    from multimodalbrainsurvival_tpu.models import (
+        EarlyFusionMLP,
+        RNAEncoder,
+        RNAOnlyModel,
+    )
+    from multimodalbrainsurvival_tpu.serving import (
+        export_table_artifact,
+        load_artifact,
+    )
+
+    rng = np.random.default_rng(2)
+    for name, model, want_emb in (
+        ("rna", RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(16, 8),
+                                                dropout=0.0)), True),
+        ("feature", EarlyFusionMLP(hidden_dims=(16, 8), dropout=0.0), False),
+    ):
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 12)), train=False)
+        meta = export_table_artifact(
+            model, v, str(tmp_path / name), in_features=12,
+            kind=f"{name}_serving",
+        )
+        assert meta["kind"] == f"{name}_serving"
+        art = load_artifact(str(tmp_path / name))
+        for B in (3, 7):
+            x = jnp.asarray(rng.normal(size=(B, 12)).astype(np.float32))
+            got = art.call(x)
+            np.testing.assert_allclose(
+                np.asarray(got["scores"]),
+                np.asarray(model.apply(v, x, train=False)),
+                rtol=1e-5, atol=1e-6,
+            )
+            if want_emb:
+                np.testing.assert_allclose(
+                    np.asarray(got["embedding"]),
+                    np.asarray(model.apply(v, x, train=False,
+                                           method="extract")),
+                    rtol=1e-5, atol=1e-6,
+                )
+            else:
+                assert "embedding" not in got
+
+
+def test_export_joint_roundtrip(tmp_path):
+    """joint_serving: bimodal patch bag ⊕ RNA artifact matches the model's
+    extract/__call__ and is (batch, bag)-polymorphic."""
+    from multimodalbrainsurvival_tpu.models import (
+        BagHistopathologyRNAModel,
+        RNAEncoder,
+        resnet18,
+    )
+    from multimodalbrainsurvival_tpu.models.folding import (
+        fold_resnet_variables,
+    )
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+    from multimodalbrainsurvival_tpu.serving import (
+        export_joint_artifact,
+        load_artifact,
+    )
+
+    def build(fold):
+        return BagHistopathologyRNAModel(
+            resnet=resnet18(fold_bn=fold),
+            rna_encoder=RNAEncoder(hidden_dims=(16, 8), dropout=0.0),
+            head_dropout=0.0,
+        )
+
+    stock = build(False)
+    v = stock.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1, 32, 32, 3)),
+        jnp.zeros((1, 10)), train=False,
+    )
+    folded = fold_resnet_variables(v)
+    model = build(True)
+    meta = export_joint_artifact(
+        model, folded, str(tmp_path / "joint"), img_size=32,
+        rna_features=10, arch="resnet18",
+    )
+    assert meta["kind"] == "joint_serving" and meta["rna_features"] == 10
+
+    art = load_artifact(str(tmp_path / "joint"))
+    rng = np.random.default_rng(4)
+    for B, bag in ((2, 4), (3, 2)):
+        x = jnp.asarray(
+            rng.integers(0, 255, (B, bag, 32, 32, 3), dtype=np.uint8)
+        )
+        m = jnp.asarray(np.ones((B, bag), np.float32))
+        r = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+        got = art.call(x, m, r)
+
+        h = preprocess_patches(x, train=False)
+        want_emb = model.apply(folded, h, r, mask=m, train=False,
+                               method="extract")
+        want_scores = model.apply(folded, h, r, mask=m, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got["embedding"]), np.asarray(want_emb),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want_scores),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_export_cli_rna_kind(tmp_path):
+    """export_kind: "rna" through the CLI: train-shaped checkpoint → artifact
+    whose scores match the TableAdapter serving path."""
+    from multimodalbrainsurvival_tpu.cli import export_model
+    from multimodalbrainsurvival_tpu.cli.rna_train import build_rna_model
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.data import RNATableDataset
+    from multimodalbrainsurvival_tpu.serving import load_artifact
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    csv = tmp_path / "rna.csv"
+    make_survival_csv(str(csv), [f"c{i}" for i in range(6)], n_rna=8, seed=5)
+    cfg = {
+        "batch_size": 4, "use_cuda": False, "num_workers": 1,
+        "train_csv_path": str(csv), "val_csv_path": str(csv),
+        "test_csv_path": str(csv), "flag": "rna_export",
+        "model_path": str(tmp_path / "ckpt"),
+        "export_path": str(tmp_path / "art"), "export_kind": "rna",
+        "checkpoint_path": str(tmp_path / "out") + "/",
+        "summary_path": str(tmp_path / "out/summary") + "/",
+    }
+    model = build_rna_model(Config(cfg))
+    adapter = TableAdapter(model=model)
+    ds = RNATableDataset(str(csv))
+    probe = next(ds.batches(4))
+    variables = adapter.init(
+        jax.random.PRNGKey(9),
+        {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
+    )
+    Checkpointer().save(cfg["model_path"], variables, block=True)
+
+    p = tmp_path / "cfg_rna_export.json"
+    p.write_text(json.dumps(cfg))
+    export_model.main(["--config", str(p)])
+
+    art = load_artifact(cfg["export_path"])
+    assert art.meta["kind"] == "rna_serving"
+    assert art.meta["in_features"] == 8
+    x = jnp.asarray(probe["data"])
+    got = art.call(x)
+    want, _ = adapter.apply(variables, {"data": x}, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["embedding"]),
+        np.asarray(adapter.extract(variables, {"data": x})),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 @pytest.fixture
 def export_experiment(tmp_path):
     root = tmp_path / "patches"

@@ -38,6 +38,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--time", action="store_true")
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--max_bag", type=int, default=0,
+                   help="skip configs with bag larger than this (0 = all)")
     a = p.parse_args(argv)
 
     import jax
@@ -57,10 +59,15 @@ def main(argv=None):
 
     gib = 1 << 30
     hbm = jax.devices()[0].memory_stats()
-    limit = hbm.get("bytes_limit", 0) / gib if hbm else float("nan")
+    limit = (hbm or {}).get("bytes_limit", 0) / gib
+    if not limit:
+        # the axon-tunneled runtime reports no memory_stats; v5e is 16 GiB
+        limit = 16.0
     print(f"device: {jax.devices()[0].device_kind}, HBM limit {limit:.1f} GiB")
 
     for B, bag, n_layers in CONFIGS:
+        if a.max_bag and bag > a.max_bag:
+            continue
         for remat in (False, True):
             model = AggregationModel(
                 resnet=resnet50(dtype=jnp.bfloat16, remat_blocks=remat),
@@ -123,10 +130,17 @@ def main(argv=None):
             step = jax.jit(one_step)
             batch_shapes = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), batch)
-            compiled = step.lower(
-                variables["params"], variables["batch_stats"], opt_state,
-                jax.random.PRNGKey(0), batch_shapes,
-            ).compile()
+            try:
+                compiled = step.lower(
+                    variables["params"], variables["batch_stats"], opt_state,
+                    jax.random.PRNGKey(0), batch_shapes,
+                ).compile()
+            except Exception as err:  # TPU compile-time HBM OOM
+                first = str(err).splitlines()[0] if str(err) else repr(err)
+                print(f"B={B:<4d} bag={bag:<5d} layers={n_layers} "
+                      f"remat={int(remat)}: DOES NOT COMPILE "
+                      f"({first[:140]})", flush=True)
+                continue
             m = compiled.memory_analysis()
             total = (m.temp_size_in_bytes + m.argument_size_in_bytes) / gib
             fits = total < limit if np.isfinite(limit) else None

@@ -125,6 +125,10 @@ def test_full_slide_bag_config_end_to_end(tmp_path):
         "model_path": "", "restore_path": "",
         "cache_patches_on_device": True,
         "mesh": {"dp": 2, "mp": 4, "shard_bag": True},
+        # the full-slide memory recipe is remat × bag sharding (one chip
+        # holds bag/mp block inputs only); prove the composition compiles
+        # and trains through the CLI
+        "remat": True,
     }
     p = tmp_path / "cfg_fullslide.json"
     p.write_text(json.dumps(cfg))

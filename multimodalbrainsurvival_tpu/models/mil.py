@@ -57,6 +57,27 @@ class AggregationModel(nn.Module):
                                                    train=train)
         return self.fc(feats), attention
 
+    def extract_from_trunk(self, fmap, mask=None, train: bool = False,
+                           from_stage: int = 3):
+        """``extract`` continued from a (B, bag, h, w, c) mid-network feature
+        map (the int8 frozen trunk's output — ``quantize_trunk: "int8"``
+        training mode): trainable ResNet stages + pool, then the aggregator
+        tail."""
+        B, bag = fmap.shape[:2]
+        feats = self.resnet.extract_tail(
+            fmap.reshape((B * bag,) + fmap.shape[2:]),
+            train=train, from_stage=from_stage,
+        )
+        return self.extract_from_feats(feats.reshape(B, bag, -1), mask=mask,
+                                       train=train)
+
+    def from_trunk(self, fmap, mask=None, train: bool = False,
+                   from_stage: int = 3):
+        feats, attention = self.extract_from_trunk(
+            fmap, mask=mask, train=train, from_stage=from_stage
+        )
+        return self.fc(feats), attention
+
     def __call__(self, x, mask=None, train: bool = False):
         feats, attention = self.extract(x, mask=mask, train=train)
         return self.fc(feats), attention
@@ -91,6 +112,23 @@ class AggregationProjectModel(nn.Module):
     def from_feats(self, feats, mask=None, train: bool = False):
         feats, attention = self.extract_from_feats(feats, mask=mask,
                                                    train=train)
+        return self.fc(feats), attention
+
+    def extract_from_trunk(self, fmap, mask=None, train: bool = False,
+                           from_stage: int = 3):
+        B, bag = fmap.shape[:2]
+        feats = self.resnet.extract_tail(
+            fmap.reshape((B * bag,) + fmap.shape[2:]),
+            train=train, from_stage=from_stage,
+        )
+        return self.extract_from_feats(feats.reshape(B, bag, -1), mask=mask,
+                                       train=train)
+
+    def from_trunk(self, fmap, mask=None, train: bool = False,
+                   from_stage: int = 3):
+        feats, attention = self.extract_from_trunk(
+            fmap, mask=mask, train=train, from_stage=from_stage
+        )
         return self.fc(feats), attention
 
     def __call__(self, x, mask=None, train: bool = False):

@@ -203,13 +203,10 @@ def _residual_relu_q(t_q, s_t, r_q, s_r, s_out):
     return _requant(jax.nn.relu(y), s_out)
 
 
-def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
-    """(B, H, W, C) preprocessed float input → (B, D) f32 embedding, int8.
-
-    Every inter-conv activation is an int8 tensor; dequant/requant live in
-    the conv epilogues. Accuracy vs the float path is pinned by
-    ``tests/test_quantize.py`` (cosine > 0.995 on calibrated data).
-    """
+def _quantized_stages(qtree: dict, x, *, stages: int, arch: str = "resnet50"):
+    """int8 stem + first ``stages`` residual stages; returns ``(y_q, s_in)``
+    — the int8 feature map and its scale. Shared by ``quantized_extract``
+    (all stages + pool) and ``quantized_trunk`` (frozen-prefix training)."""
     basic = arch in BASIC_ARCHS
     s = qtree["scales"]
     # the stem stays the plain 7×7/2 int8 conv: an exactly-equivalent
@@ -227,7 +224,7 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
     s_in = s["stem"]
-    for i, n_blocks in enumerate(STAGE_SIZES[arch]):
+    for i, n_blocks in enumerate(STAGE_SIZES[arch][:stages]):
         for j in range(n_blocks):
             ln = f"layer{i + 1}_{j}"
             bq = qtree[ln]
@@ -255,8 +252,40 @@ def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
                 s_r, r_q = s_in, y_q
             y_q = _residual_relu_q(t_q, s_t, r_q, s_r, s_out)
             s_in = s_out
+    return y_q, s_in
+
+
+def quantized_extract(qtree: dict, x, *, arch: str = "resnet50"):
+    """(B, H, W, C) preprocessed float input → (B, D) f32 embedding, int8.
+
+    Every inter-conv activation is an int8 tensor; dequant/requant live in
+    the conv epilogues. Accuracy vs the float path is pinned by
+    ``tests/test_quantize.py`` (cosine > 0.995 on calibrated data).
+    """
+    y_q, s_in = _quantized_stages(
+        qtree, x, stages=len(STAGE_SIZES[arch]), arch=arch
+    )
     # final dequant + global average pool
     return jnp.mean(y_q.astype(jnp.float32), axis=(1, 2)) * s_in
+
+
+def quantized_trunk(qtree: dict, x, *, stages: int, arch: str = "resnet50",
+                    dtype=jnp.float32):
+    """Frozen-prefix int8 forward: stem + first ``stages`` residual stages,
+    dequantized to a ``dtype`` feature map ``(B, h, w, c)``.
+
+    This is the compute path of the opt-in ``quantize_trunk: "int8"``
+    TRAINING mode: under the reference freeze ladder
+    (``2_HistoPath_train.py:544-551``) the layers below the trained ones run
+    forward-only every step — exactly the shape of work W8A8 serves fastest
+    (docs/DESIGN.md items 18-20). The trainable tail continues in the float
+    model from this feature map (``ResNet.extract_tail``); gradients stop
+    here by construction. Deviations vs the float freeze path: int8 rounding
+    in the frozen features, and the frozen stages' BN running stats no
+    longer update (the reference quirk keeps updating them under freeze —
+    SURVEY.md §7 "hard parts"; this mode is opt-in like ``quantize``)."""
+    y_q, s_in = _quantized_stages(qtree, x, stages=stages, arch=arch)
+    return (y_q.astype(jnp.float32) * s_in).astype(dtype)
 
 
 def calibrate_and_quantize(variables: dict, batches, *,
@@ -266,6 +295,49 @@ def calibrate_and_quantize(variables: dict, batches, *,
     fwd = jax.jit(lambda v, x: float_extract_amax(v, x, arch=arch)[1])
     dicts = [jax.device_get(fwd(variables, jnp.asarray(b))) for b in batches]
     return quantize_resnet(variables, merge_amax(dicts), arch=arch)
+
+
+def quantize_trunk_for_training(variables: dict, patch_bags_u8, *,
+                                arch: str = "resnet50",
+                                submodule: str = "resnet",
+                                augment: bool = True,
+                                seed: int = 0) -> dict:
+    """Fold + calibrate + quantize the ResNet inside a LIVE training model.
+
+    ``variables``: the unfolded ``{'params', 'batch_stats'}`` tree of a MIL /
+    joint model at training start (pretrained/restored weights — the frozen
+    prefix keeps exactly these values for the whole run, which is what makes
+    a one-shot quantization valid). The ResNet subtree is BN-folded with its
+    CURRENT running stats, then calibrated on TRAIN-preprocessed pixels
+    (augmentation on, deterministic keys) so the activation ranges cover the
+    augmented input distribution the trunk will actually see each step.
+    Returns the qtree for ``quantized_trunk``.
+    """
+    import jax.random as jrandom
+
+    from multimodalbrainsurvival_tpu.models.folding import (
+        fold_resnet_variables,
+    )
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+
+    folded = fold_resnet_variables({
+        "params": jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float32),
+            variables["params"][submodule],
+        ),
+        "batch_stats": variables["batch_stats"][submodule],
+    })
+    fwd = jax.jit(lambda v, x: float_extract_amax(v, x, arch=arch)[1])
+    key = jrandom.PRNGKey(seed)
+    dicts = []
+    for bag in patch_bags_u8:
+        key, sub = jrandom.split(key)
+        x = preprocess_patches(jnp.asarray(bag), train=augment,
+                               key=sub if augment else None,
+                               dtype=jnp.float32)
+        x = x.reshape((-1,) + x.shape[-3:])
+        dicts.append(jax.device_get(fwd(folded, x)))
+    return quantize_resnet(folded, merge_amax(dicts), arch=arch)
 
 
 def quantize_mil_resnet(variables: dict, patch_bags_u8, *,

@@ -344,11 +344,24 @@ class ResNet(nn.Module):
         y = nn.max_pool(
             y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
-        for i in range(len(self.stage_sizes)):
+        # positional `train` in the blocks: static_argnums=(2,) under remat
+        return self.extract_tail(y, train=train, from_stage=0)
+
+    def extract_tail(self, y, train: bool = False, from_stage: int = 0):
+        """Continue ``extract`` from the feature map after ``from_stage``
+        residual stages (``from_stage=0`` expects the maxpooled stem output).
+
+        The seam for the ``quantize_trunk: "int8"`` training mode
+        (``models/quantize.quantized_trunk``): the frozen prefix of the
+        freeze ladder (``2_HistoPath_train.py:544-551``) runs W8A8 outside
+        flax, and the trainable stages + pool continue here on the
+        dequantized map. BatchNorm in these stages trains normally.
+        """
+        y = y.astype(self.dtype)
+        for i in range(from_stage, len(self.stage_sizes)):
             for block in getattr(self, f"layer{i + 1}"):
-                # positional `train`: it is static_argnums=(2,) under remat
                 y = block(y, train)
-        y = jnp.mean(y, axis=(1, 2))  # global average pool
+        y = jnp.mean(y, axis=(1, 2))
         return y.astype(jnp.float32)
 
     def __call__(self, x, train: bool = False):

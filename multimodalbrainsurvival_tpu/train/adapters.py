@@ -200,6 +200,97 @@ class QuantizedMILAdapter(MILAdapter):
         return self._unwrap(out)
 
 
+def _merge_batch_stats(old, new):
+    """Overlay the batch-stats entries a tail-only apply actually updated
+    onto the full collection, so frozen-trunk stats survive in the train
+    state/checkpoint unchanged (flax's mutable return only covers visited
+    modules)."""
+    if old is None or new is None:
+        return new
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(old)
+    flat.update(traverse_util.flatten_dict(new))
+    return traverse_util.unflatten_dict(flat)
+
+
+@dataclass
+class QuantTrunkMILAdapter(MILAdapter):
+    """int8 frozen-trunk TRAINING adapter (``quantize_trunk: "int8"``).
+
+    Under the reference freeze ladder (``2_HistoPath_train.py:544-551``) the
+    stages below ``n_layers_to_train`` run forward-only every step — exactly
+    the work profile the W8A8 serving path executes ~1.5× faster than bf16
+    (docs/DESIGN.md items 18-20). This adapter runs that frozen prefix
+    through ``models/quantize.quantized_trunk`` (one-shot fold + calibrate +
+    quantize at training start — valid because the prefix's params never
+    change) and the trainable stages + aggregator + head through the float
+    model (``from_trunk``), with dropout/BN/gradients exactly as in the
+    float step. Deviations (opt-in, like ``quantize: "int8"`` serving):
+    int8 rounding in the frozen features, and frozen-stage BN running stats
+    no longer update (the reference quirk updates them under freeze).
+
+    ``qtree`` rides as a closure constant of the jitted step — it is
+    immutable for the whole run, so there is nothing to thread through the
+    train state; the checkpoint layout stays identical to a float run's
+    (full float params incl. the frozen trunk).
+    """
+
+    arch: str = "resnet50"
+    trunk_stages: int = 3
+    qtree: Any = None
+
+    def _trunk_feats(self, arrays, train, rng_img):
+        from multimodalbrainsurvival_tpu.models.quantize import (
+            quantized_trunk,
+        )
+
+        x = self._preprocess(arrays, train, rng_img)
+        B, bag = x.shape[:2]
+        fmap = quantized_trunk(
+            self.qtree, x.reshape((B * bag,) + x.shape[2:]),
+            stages=self.trunk_stages, arch=self.arch,
+            dtype=self.model.resnet.dtype,
+        )
+        return fmap.reshape((B, bag) + fmap.shape[1:])
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if train and rng is not None:
+            rng_img, rng_drop = jax.random.split(rng)
+        else:
+            rng_img = rng_drop = rng
+        fmap = self._trunk_feats(arrays, train, rng_img)
+        batch_stats = variables.get("batch_stats")
+        if train:
+            out, updates = self.model.apply(
+                _join_variables(variables["params"], batch_stats),
+                fmap,
+                mask=arrays["bag_mask"],
+                train=True,
+                from_stage=self.trunk_stages,
+                mutable=["batch_stats"] if batch_stats is not None else [],
+                rngs={"dropout": rng_drop},
+                method="from_trunk",
+            )
+            new_stats = _merge_batch_stats(
+                batch_stats, updates.get("batch_stats")
+            )
+            return self._unwrap(out), new_stats
+        out = self.model.apply(
+            variables, fmap, mask=arrays["bag_mask"], train=False,
+            from_stage=self.trunk_stages, method="from_trunk",
+        )
+        return self._unwrap(out), None
+
+    def extract(self, variables, arrays):
+        fmap = self._trunk_feats(arrays, False, None)
+        out = self.model.apply(
+            variables, fmap, mask=arrays["bag_mask"], train=False,
+            from_stage=self.trunk_stages, method="extract_from_trunk",
+        )
+        return self._unwrap(out)
+
+
 @dataclass
 class JointAdapter(_PatchAdapterBase):
     """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""

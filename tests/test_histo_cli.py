@@ -230,6 +230,63 @@ def test_histo_train_with_mesh_sharded_device_cache(histo_experiment):
     assert len(frame) > 0 and np.isfinite(frame["score"]).all()
 
 
+def test_histo_train_quantize_trunk(histo_experiment):
+    """`quantize_trunk: "int8"` trains end-to-end through the CLI: the freeze
+    ladder's forward-only prefix runs W8A8 (QuantTrunkMILAdapter), the float
+    checkpoint layout is unchanged (savescore loads it), and an invalid
+    n_layers_to_train is rejected loudly."""
+    tmp_path, cfg, _ = histo_experiment
+    from multimodalbrainsurvival_tpu.cli import histo_savescore, histo_train
+    from multimodalbrainsurvival_tpu.train.adapters import QuantTrunkMILAdapter
+
+    cfg2 = dict(cfg)
+    cfg2["quantize_trunk"] = "int8"
+    cfg2["flag"] = "ffpe_qtrunk"
+    cfg2["num_epochs"] = 1
+    p = tmp_path / "cfg_qtrunk.json"
+    p.write_text(json.dumps(cfg2))
+
+    built = {}
+    init_orig = QuantTrunkMILAdapter.__init__
+
+    def spy(self, *a, **kw):
+        init_orig(self, *a, **kw)
+        built["trunk_stages"] = self.trunk_stages
+        built["qtree"] = self.qtree is not None
+
+    QuantTrunkMILAdapter.__init__ = spy
+    try:
+        histo_train.main(["--config", str(p)])
+    finally:
+        QuantTrunkMILAdapter.__init__ = init_orig
+    # n_layers_to_train=2 -> frozen prefix = stem + 3 stages
+    assert built == {"trunk_stages": 3, "qtree": True}
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/ffpe_qtrunk/val_output_last.csv"
+    )
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+    # the checkpoint stays float-layout: the stock (float) savescore loads it
+    cfg3 = dict(cfg)
+    cfg3["model_path"] = str(tmp_path / "out/models/ffpe_qtrunk/model_last")
+    cfg3["output_path"] = str(tmp_path / "scores_qtrunk") + "/"
+    p3 = tmp_path / "cfg_qtrunk_score.json"
+    p3.write_text(json.dumps(cfg3))
+    histo_savescore.main(["--config", str(p3)])
+    score_files = [f for f in os.listdir(tmp_path / "scores_qtrunk")
+                   if "val" in f]
+    assert score_files, "savescore wrote no val frame from the qtrunk model"
+    got = pd.read_csv(tmp_path / "scores_qtrunk" / score_files[0])
+    assert np.isfinite(got["score"]).all()
+
+    # full fine-tune leaves no frozen prefix to quantize -> loud error
+    cfg4 = dict(cfg2, n_layers_to_train=5, flag="ffpe_qtrunk_bad")
+    p4 = tmp_path / "cfg_qtrunk_bad.json"
+    p4.write_text(json.dumps(cfg4))
+    with pytest.raises(ValueError, match="n_layers_to_train"):
+        histo_train.main(["--config", str(p4)])
+
+
 def test_cache_budget_config_key(histo_experiment):
     """`cache_max_bytes_per_device` drives the cache fit check: a tiny
     budget falls back to the host loader instead of caching."""

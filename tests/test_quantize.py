@@ -207,6 +207,108 @@ def test_quantized_mil_adapter_matches_float_extract():
         qadapter.apply(qv, arrays, train=True, rng=jax.random.PRNGKey(0))
 
 
+def test_quant_trunk_training_adapter():
+    """QuantTrunkMILAdapter (``quantize_trunk: "int8"`` TRAINING mode): the
+    frozen prefix (stem + 3 stages here) runs int8, the trainable tail
+    (layer4 + aggregator + fc) stays float.
+
+    Pins the mode's contract: (a) eval embeddings track the float path
+    (cosine > 0.995); (b) gradients are EXACTLY zero for every frozen-trunk
+    param and flow to the tail; (c) a train-mode apply leaves frozen-stage
+    BN running stats bit-identical while updating the trainable stages';
+    (d) the batch_stats tree keeps its full layout (checkpoint-compatible
+    with a float run).
+    """
+    from flax.traverse_util import flatten_dict
+
+    from multimodalbrainsurvival_tpu.models.aggregators import make_aggregator
+    from multimodalbrainsurvival_tpu.models.mil import AggregationModel
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_trunk_for_training,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        MILAdapter,
+        QuantTrunkMILAdapter,
+    )
+
+    model = AggregationModel(
+        resnet=RESNET_CONSTRUCTORS["resnet18"](),
+        aggregator=make_aggregator("attention", dim=512, hdim=32),
+        aggregator_dim=512,
+    )
+    rng = np.random.default_rng(3)
+    bag = rng.integers(0, 256, size=(2, 3, 32, 32, 3), dtype=np.uint8)
+    arrays = {
+        "patch_bag": jnp.asarray(bag),
+        "bag_mask": jnp.ones((2, 3), np.float32),
+        "sample_mask": jnp.ones((2,), bool),
+    }
+    stock = MILAdapter(model=model, augment=False)
+    v = stock.init(jax.random.PRNGKey(0), arrays)
+    # non-trivial BN running stats so trunk folding actually moves values
+    flat = traverse_util.flatten_dict(v["batch_stats"])
+    key = jax.random.PRNGKey(5)
+    for k in flat:
+        key, sub = jax.random.split(key)
+        if k[-1] == "mean":
+            flat[k] = flat[k] + 0.1 * jax.random.normal(sub, flat[k].shape)
+        else:
+            flat[k] = flat[k] * jnp.exp(
+                0.2 * jax.random.normal(sub, flat[k].shape)
+            )
+    v = {"params": v["params"],
+         "batch_stats": traverse_util.unflatten_dict(flat)}
+
+    qtree = quantize_trunk_for_training(v, [bag], arch="resnet18",
+                                        augment=False)
+    adapter = QuantTrunkMILAdapter(
+        model=model, arch="resnet18", trunk_stages=3,
+        qtree=jax.device_put(qtree), augment=False,
+    )
+
+    # (a) eval embedding tracks the float adapter
+    emb_q = adapter.extract(v, arrays)
+    emb_f = stock.extract(v, arrays)
+    assert emb_q.shape == emb_f.shape
+    assert _cosines(emb_q, emb_f).min() > 0.995
+    out, stats = adapter.apply(v, arrays, train=False)
+    assert out.shape == (2, 1) and stats is None
+
+    # (b) gradients: exactly zero on the frozen trunk, flowing in the tail
+    def loss(params):
+        o, _ = adapter.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            arrays, train=True, rng=jax.random.PRNGKey(2),
+        )
+        return jnp.sum(o ** 2)
+
+    g = flatten_dict(jax.grad(loss)(v["params"]))
+    trunk_prefixes = ("conv1", "bn1", "layer1", "layer2", "layer3")
+    trunk, tail = [], []
+    for path, a in g.items():
+        is_trunk = (path[0] == "resnet"
+                    and str(path[1]).startswith(trunk_prefixes))
+        (trunk if is_trunk else tail).append(float(jnp.abs(a).max()))
+    assert trunk and max(trunk) == 0.0
+    assert any(m > 0 for m in tail)
+
+    # (c)+(d) train apply: full batch_stats layout, frozen stages untouched
+    _, new_stats = adapter.apply(v, arrays, train=True,
+                                 rng=jax.random.PRNGKey(1))
+    old_flat = traverse_util.flatten_dict(v["batch_stats"])
+    new_flat = traverse_util.flatten_dict(new_stats)
+    assert set(old_flat) == set(new_flat)
+    frozen_changed, tail_changed = [], []
+    for k in old_flat:
+        same = np.array_equal(np.asarray(old_flat[k]),
+                              np.asarray(new_flat[k]))
+        is_trunk = str(k[1]).startswith(trunk_prefixes)
+        if not same:
+            (frozen_changed if is_trunk else tail_changed).append(k)
+    assert not frozen_changed
+    assert tail_changed  # layer4 BN stats did update
+
+
 def test_quantized_joint_adapter_matches_float():
     """QuantizedJointAdapter: int8 patch encoder under the bimodal fusion
     (float RNA encoder + head); scores track the float JointAdapter."""

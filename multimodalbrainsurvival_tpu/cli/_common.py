@@ -221,6 +221,87 @@ def quantize_serving(config: Config, model, adapter, variables, probe):
     return variables, adapter
 
 
+def quantize_trunk_training(config: Config, adapter, variables, datasets,
+                            probe, settings, device_put_fn, seed: int):
+    """Swap a float training adapter for the int8 frozen-trunk one
+    (``quantize_trunk: "int8"``, opt-in TPU-native extension).
+
+    Under the reference freeze ladders (``2_HistoPath_train.py:544-551``,
+    ``1_JointFusion_train.py:386-401``) the ResNet stages below
+    ``n_layers_to_train`` run forward-only every step — exactly the work
+    profile the W8A8 path executes ~1.5× faster than bf16 (docs/DESIGN.md
+    items 18-24). One-shot fold + calibrate + quantize of the frozen prefix
+    at training start (valid because its params never change); the trainable
+    tail, aggregator/RNA encoder, and head stay float with an unchanged
+    checkpoint layout. Dispatches MIL vs joint on the adapter type, like
+    ``quantize_serving``. Returns the (possibly replaced) adapter.
+    """
+    qt_mode = str(config.get("quantize_trunk", "") or "")
+    if not qt_mode:
+        return adapter
+    if qt_mode != "int8":
+        raise ValueError(f"quantize_trunk: unknown mode {qt_mode!r} "
+                         "(supported: 'int8')")
+    # Both freeze ladders order trainable layers head-first (MIL:
+    # train/optim.py mil_freeze_ladder; joint: JOINT_LADDER resnet/fc down),
+    # so n trainable layers leave `5 - n` frozen residual stages below them.
+    n = int(config.n_layers_to_train)
+    trunk_stages = max(0, min(4, 5 - max(n, 1)))
+    if trunk_stages < 1:
+        raise ValueError(
+            "quantize_trunk requires n_layers_to_train <= 4: the frozen "
+            "prefix must cover at least conv1+layer1 "
+            f"(got n_layers_to_train={n})"
+        )
+    import jax
+
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_trunk_for_training,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        JointAdapter,
+        QuantTrunkJointAdapter,
+        QuantTrunkMILAdapter,
+    )
+
+    cal_bags = [probe["patch_bag"]]
+    for i, b in enumerate(
+        datasets["train"].batches(settings.batch_size,
+                                  **adapter.loader_kwargs)
+    ):
+        cal_bags.append(b["patch_bag"])
+        if i >= 1:
+            break
+    qtree = quantize_trunk_for_training(
+        variables, cal_bags, arch=config.model_name,
+        augment=adapter.augment, seed=seed,
+    )
+    mesh = getattr(device_put_fn, "mesh", None)
+    if mesh is not None:
+        # the qtree is a closure constant of the jitted step; under a
+        # mesh it must be replicated, not committed to device 0
+        from multimodalbrainsurvival_tpu.parallel.sharding import (
+            replicated_shardings,
+        )
+
+        qtree = jax.device_put(qtree, replicated_shardings(qtree, mesh))
+    else:
+        qtree = jax.device_put(qtree)
+    cls = (QuantTrunkJointAdapter if isinstance(adapter, JointAdapter)
+           else QuantTrunkMILAdapter)
+    adapter = cls(
+        model=adapter.model,
+        loader_kwargs=adapter.loader_kwargs,
+        augment=adapter.augment,
+        arch=config.model_name,
+        trunk_stages=trunk_stages,
+        qtree=qtree,
+    )
+    print(f"quantize_trunk: int8 frozen prefix = stem + "
+          f"{trunk_stages} stage(s); trainable tail stays float")
+    return adapter
+
+
 def extract_features_frames(cases: list[str], feats: np.ndarray):
     """Per-case mean feature aggregation (``4_HistoPath_extractfeatures.py:80-88``)."""
     import pandas as pd

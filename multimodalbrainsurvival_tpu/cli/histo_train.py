@@ -23,6 +23,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    quantize_trunk_training,
     run_train,
 )
 from multimodalbrainsurvival_tpu.data import PatchBagDataset
@@ -185,62 +186,13 @@ def main(argv=None):
         variables, config, Checkpointer(), keys=("restore_path", "model_path")
     )
 
-    qt_mode = str(config.get("quantize_trunk", "") or "")
-    if qt_mode:
-        # int8 frozen-trunk training (TPU-native extension, opt-in): the
-        # freeze ladder's forward-only prefix runs W8A8 (models/quantize.py),
-        # the trainable tail stays float — docs/DESIGN.md item 24
-        if qt_mode != "int8":
-            raise ValueError(f"quantize_trunk: unknown mode {qt_mode!r} "
-                             "(supported: 'int8')")
-        n = int(config.n_layers_to_train)
-        trunk_stages = max(0, min(4, 5 - max(n, 1)))
-        if trunk_stages < 1:
-            raise ValueError(
-                "quantize_trunk requires n_layers_to_train <= 4: the frozen "
-                "prefix must cover at least conv1+layer1 "
-                f"(got n_layers_to_train={n})"
-            )
-        from multimodalbrainsurvival_tpu.models.quantize import (
-            quantize_trunk_for_training,
-        )
-        from multimodalbrainsurvival_tpu.train.adapters import (
-            QuantTrunkMILAdapter,
-        )
-
-        cal_bags = [probe["patch_bag"]]
-        for i, b in enumerate(
-            datasets["train"].batches(settings.batch_size,
-                                      **adapter.loader_kwargs)
-        ):
-            cal_bags.append(b["patch_bag"])
-            if i >= 1:
-                break
-        qtree = quantize_trunk_for_training(
-            variables, cal_bags, arch=config.model_name,
-            augment=bool(config.get("augment", True)), seed=args.seed,
-        )
-        mesh = getattr(device_put_fn, "mesh", None)
-        if mesh is not None:
-            # the qtree is a closure constant of the jitted step; under a
-            # mesh it must be replicated, not committed to device 0
-            from multimodalbrainsurvival_tpu.parallel.sharding import (
-                replicated_shardings,
-            )
-
-            qtree = jax.device_put(qtree, replicated_shardings(qtree, mesh))
-        else:
-            qtree = jax.device_put(qtree)
-        adapter = QuantTrunkMILAdapter(
-            model=model,
-            loader_kwargs=adapter.loader_kwargs,
-            augment=adapter.augment,
-            arch=config.model_name,
-            trunk_stages=trunk_stages,
-            qtree=qtree,
-        )
-        print(f"quantize_trunk: int8 frozen prefix = stem + "
-              f"{trunk_stages} stage(s); trainable tail stays float")
+    # int8 frozen-trunk training (TPU-native extension, opt-in): the freeze
+    # ladder's forward-only prefix runs W8A8 (models/quantize.py), the
+    # trainable tail stays float — docs/DESIGN.md item 24
+    adapter = quantize_trunk_training(
+        config, adapter, variables, datasets, probe, settings,
+        device_put_fn, args.seed,
+    )
 
     ladder = mil_freeze_ladder(config.n_layers_to_train)
     tx, labels = build_grouped_optimizer(

@@ -21,6 +21,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    quantize_trunk_training,
     run_train,
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import load_pretrained
@@ -161,6 +162,14 @@ def main(argv=None):
     ckpt = Checkpointer()
     variables = maybe_restore(variables, config, ckpt,
                               keys=("restore_path", "model_path"))
+
+    # int8 frozen-trunk training (opt-in): the joint ladder's frozen ResNet
+    # prefix runs W8A8, the trainable stages + RNA encoder + fusion head
+    # stay float (QuantTrunkJointAdapter) — docs/DESIGN.md item 24
+    adapter = quantize_trunk_training(
+        config, adapter, variables, datasets, probe, settings,
+        device_put_fn, args.seed,
+    )
 
     tx, labels = build_joint_optimizer(variables["params"], config)
     # frozen layers skip backward entirely (torch requires_grad=False parity)

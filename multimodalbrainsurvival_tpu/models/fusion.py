@@ -78,6 +78,27 @@ class BagHistopathologyRNAModel(nn.Module):
         fused = self.final_drop(fused, deterministic=not train)
         return self.final(fused)
 
+    def extract_from_trunk(self, fmap, rna, mask=None, train: bool = False,
+                           from_stage: int = 3):
+        """``extract`` continued from a (B, bag, h, w, c) mid-ResNet feature
+        map (the int8 frozen trunk's output — ``quantize_trunk: "int8"``
+        training mode): trainable ResNet stages + pool via
+        ``ResNet.extract_tail``, then the fusion tail."""
+        B, bag = fmap.shape[:2]
+        feats = self.resnet.extract_tail(
+            fmap.reshape((B * bag,) + fmap.shape[2:]),
+            train=train, from_stage=from_stage,
+        )
+        return self.extract_from_feats(feats.reshape(B, bag, -1), rna,
+                                       mask=mask, train=train)
+
+    def from_trunk(self, fmap, rna, mask=None, train: bool = False,
+                   from_stage: int = 3):
+        fused = self.extract_from_trunk(fmap, rna, mask=mask, train=train,
+                                        from_stage=from_stage)
+        fused = self.final_drop(fused, deterministic=not train)
+        return self.final(fused)
+
     def __call__(self, patch_bag, rna, mask=None, train: bool = False):
         fused = self.extract(patch_bag, rna, mask=mask, train=train)
         fused = self.final_drop(fused, deterministic=not train)

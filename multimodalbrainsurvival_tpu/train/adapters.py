@@ -260,11 +260,12 @@ class QuantTrunkMILAdapter(MILAdapter):
         else:
             rng_img = rng_drop = rng
         fmap = self._trunk_feats(arrays, train, rng_img)
+        inputs = self._model_inputs(fmap, arrays)
         batch_stats = variables.get("batch_stats")
         if train:
             out, updates = self.model.apply(
                 _join_variables(variables["params"], batch_stats),
-                fmap,
+                *inputs,
                 mask=arrays["bag_mask"],
                 train=True,
                 from_stage=self.trunk_stages,
@@ -277,7 +278,7 @@ class QuantTrunkMILAdapter(MILAdapter):
             )
             return self._unwrap(out), new_stats
         out = self.model.apply(
-            variables, fmap, mask=arrays["bag_mask"], train=False,
+            variables, *inputs, mask=arrays["bag_mask"], train=False,
             from_stage=self.trunk_stages, method="from_trunk",
         )
         return self._unwrap(out), None
@@ -285,7 +286,8 @@ class QuantTrunkMILAdapter(MILAdapter):
     def extract(self, variables, arrays):
         fmap = self._trunk_feats(arrays, False, None)
         out = self.model.apply(
-            variables, fmap, mask=arrays["bag_mask"], train=False,
+            variables, *self._model_inputs(fmap, arrays),
+            mask=arrays["bag_mask"], train=False,
             from_stage=self.trunk_stages, method="extract_from_trunk",
         )
         return self._unwrap(out)
@@ -294,6 +296,21 @@ class QuantTrunkMILAdapter(MILAdapter):
 @dataclass
 class JointAdapter(_PatchAdapterBase):
     """Bimodal patch-bag + RNA models (BagHistopathologyRNAModel)."""
+
+    array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
+
+    def _model_inputs(self, x, arrays) -> tuple:
+        return (x, arrays["rna_data"])
+
+
+@dataclass
+class QuantTrunkJointAdapter(QuantTrunkMILAdapter):
+    """int8 frozen-trunk TRAINING adapter for the joint bimodal model
+    (``quantize_trunk: "int8"`` in the joint train CLI): the frozen ResNet
+    prefix runs W8A8, the trainable ResNet stages + RNA encoder + fusion
+    head stay float (``BagHistopathologyRNAModel.from_trunk``). Same
+    contract as the MIL variant — exact zero gradients below the seam,
+    unchanged float checkpoint layout."""
 
     array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
 

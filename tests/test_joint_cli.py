@@ -91,6 +91,57 @@ def test_joint_cli_end_to_end(joint_experiment):
     np.testing.assert_allclose(qf["score"], sf["score"], atol=0.05)
 
 
+def test_joint_train_quantize_trunk(joint_experiment):
+    """`quantize_trunk: "int8"` in the joint CLI: the frozen ResNet prefix
+    runs W8A8 (QuantTrunkJointAdapter — the bimodal variant), the RNA
+    encoder + fusion head stay float, and the checkpoint keeps the float
+    layout (the stock joint savescore loads it)."""
+    tmp_path, cfg, _ = joint_experiment
+    from multimodalbrainsurvival_tpu.cli import joint_savescore, joint_train
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        QuantTrunkJointAdapter,
+    )
+
+    cfg2 = dict(cfg)
+    cfg2["quantize_trunk"] = "int8"
+    cfg2["flag"] = "joint_qtrunk"
+    cfg2["num_epochs"] = 1
+    p = tmp_path / "cfg_joint_qtrunk.json"
+    p.write_text(json.dumps(cfg2))
+
+    built = {}
+    init_orig = QuantTrunkJointAdapter.__init__
+
+    def spy(self, *a, **kw):
+        init_orig(self, *a, **kw)
+        built["trunk_stages"] = self.trunk_stages
+        built["qtree"] = self.qtree is not None
+
+    QuantTrunkJointAdapter.__init__ = spy
+    try:
+        joint_train.main(["--config", str(p)])
+    finally:
+        QuantTrunkJointAdapter.__init__ = init_orig
+    # n_layers_to_train=2 (fc + layer4 trainable) -> frozen = stem + 3 stages
+    assert built == {"trunk_stages": 3, "qtree": True}
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/joint_qtrunk/val_output_last.csv"
+    )
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+    # float checkpoint layout: the stock (float) joint savescore loads it
+    cfg3 = dict(cfg)
+    cfg3["model_path"] = str(tmp_path / "out/models/joint_qtrunk/model_last")
+    cfg3["output_path"] = str(tmp_path / "scores_joint_qtrunk") + "/"
+    p3 = tmp_path / "cfg_joint_qtrunk_score.json"
+    p3.write_text(json.dumps(cfg3))
+    joint_savescore.main(["--config", str(p3)])
+    score_files = list((tmp_path / "scores_joint_qtrunk").glob("*val*df.csv"))
+    assert score_files, "joint savescore wrote no val frame from qtrunk model"
+    got = pd.read_csv(score_files[0])
+    assert np.isfinite(got["score"]).all()
+
+
 def test_joint_train_with_mesh_sharded_device_cache(joint_experiment):
     """Joint CLI with cache_patches_on_device + mesh: the bimodal pipeline
     trains end-to-end from the mesh-sharded patch cache (same wiring as the

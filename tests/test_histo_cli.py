@@ -287,6 +287,32 @@ def test_histo_train_quantize_trunk(histo_experiment):
         histo_train.main(["--config", str(p4)])
 
 
+def test_histo_train_quantize_trunk_with_cached_mesh(histo_experiment):
+    """quantize_trunk composes with cache_patches_on_device + mesh: the
+    calibration batches come off the mesh-sharded device cache and the qtree
+    rides replicated over the mesh; training runs e2e with finite scores."""
+    import jax
+
+    tmp_path, cfg, _ = histo_experiment
+    from multimodalbrainsurvival_tpu.cli import histo_train
+
+    cfg2 = dict(cfg)
+    cfg2["quantize_trunk"] = "int8"
+    cfg2["cache_patches_on_device"] = True
+    cfg2["mesh"] = {"dp": 8}
+    cfg2["flag"] = "ffpe_qtrunk_mesh"
+    cfg2["num_epochs"] = 1
+    cfg2["batch_size"] = 8
+    p = tmp_path / "cfg_qtrunk_mesh.json"
+    p.write_text(json.dumps(cfg2))
+    histo_train.main(["--config", str(p)])
+    assert len(jax.devices()) == 8
+    frame = pd.read_csv(
+        tmp_path / "out/outputs/ffpe_qtrunk_mesh/val_output_last.csv"
+    )
+    assert len(frame) > 0 and np.isfinite(frame["score"]).all()
+
+
 def test_cache_budget_config_key(histo_experiment):
     """`cache_max_bytes_per_device` drives the cache fit check: a tiny
     budget falls back to the host loader instead of caching."""

@@ -131,6 +131,11 @@ def run_train(train_model_fn, *args, **kwargs):
         print(
             f"exiting after preemption (status {PREEMPTED_EXIT_CODE}): {e}"
         )
+        # SystemExit skips the writer.close() that follows run_train in the
+        # CLIs — flush the partial run's scalars here so they aren't lost
+        writer = kwargs.get("writer")
+        if writer is not None:
+            writer.close()
         raise SystemExit(PREEMPTED_EXIT_CODE)
 
 

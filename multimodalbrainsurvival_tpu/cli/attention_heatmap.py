@@ -160,7 +160,10 @@ def main(argv=None):
             out = a.output or os.path.join(
                 os.path.dirname(csv_path) or ".", f"{stem}_attention.png"
             )
-        cv2.imwrite(out, img[:, :, ::-1])
+        # cv2.imwrite returns False instead of raising (e.g. missing parent
+        # directory of a single-file --output) — fail loudly, not exit 0
+        if not cv2.imwrite(out, img[:, :, ::-1]):
+            raise SystemExit(f"failed to write {out}")
         print(f"{out}: {img.shape[1]}x{img.shape[0]} "
               f"({len(frame)} patches)")
 

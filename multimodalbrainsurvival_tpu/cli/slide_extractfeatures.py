@@ -61,6 +61,7 @@ from multimodalbrainsurvival_tpu.cli.histo_train import build_mil_model
 from multimodalbrainsurvival_tpu.data.tiler import (
     SLIDE_EXTS as _SLIDE_EXTS,
     TileConfig,
+    compute_tissue_mask,
     iter_tissue_patches,
     open_slide,
     slide_id_for,
@@ -150,7 +151,9 @@ def make_patch_extract(config, model, variables):
         has_stats = bool(variables.get("batch_stats"))
 
         def fn(v, x_u8):
-            x = preprocess_patches(x_u8, train=False)
+            # eval chain in the model's compute dtype (DESIGN item 22);
+            # the int8 branch above stays f32 to match its calibration
+            x = preprocess_patches(x_u8, train=False, dtype=resnet.dtype)
             rv = {"params": v["params"]["resnet"]}
             if has_stats:
                 rv["batch_stats"] = v["batch_stats"]["resnet"]
@@ -203,9 +206,24 @@ def make_slide_tail(model):
     return run
 
 
+def check_mesh_batch(device_put_fn, batch_size: int) -> None:
+    """Validate batch divisibility at startup: the streaming batches shard
+    over the mesh's dp axis (``PartitionSpec("dp")``), and an indivisible
+    batch would fail with an opaque XLA sharding error mid-slide (the
+    device-cache loader raises the same way — ``data/device_cache.py``)."""
+    if device_put_fn is None:
+        return
+    dp = device_put_fn.mesh.shape.get("dp", 1)
+    if batch_size % dp:
+        raise ValueError(
+            f"streaming serve under mesh: batch_size {batch_size} must be "
+            f"divisible by dp={dp} (batches shard over the batch axis)"
+        )
+
+
 def stream_slide_features(
     patch_extract, variables, slide, cfg: TileConfig, batch_size: int,
-    device_put_fn=None,
+    device_put_fn=None, mask=None,
 ) -> tuple[np.ndarray, list[tuple[int, int]]]:
     """Stream one slide's tissue tiles through the patch encoder.
 
@@ -242,7 +260,7 @@ def stream_slide_features(
         pending = (out, count)
         which, count = 1 - which, 0
 
-    for _, x, y, patch in iter_tissue_patches(slide, cfg):
+    for _, x, y, patch in iter_tissue_patches(slide, cfg, mask=mask):
         bufs[which][count] = patch
         locs.append((int(x), int(y)))
         count += 1
@@ -260,13 +278,18 @@ def stream_slide_features(
 
 def _calibrate_int8(config, variables, slides, cfg, batch_size):
     """int8 activation-scale calibration on REAL tiles of the first slide
-    (the serving input distribution), not a synthetic probe."""
+    (the serving input distribution), not a synthetic probe.
+
+    Returns ``(variables, tissue_mask)`` — the first slide's mask, so the
+    scoring loop (which re-reads the same slide) skips the thumbnail decode
+    + dilate/erode it already paid for here."""
     from multimodalbrainsurvival_tpu.models.quantize import quantize_mil_resnet
 
     n_cal = min(batch_size, 64)
     calib = []
     slide = open_slide(slides[0][0])
-    for _, _, _, patch in iter_tissue_patches(slide, cfg):
+    mask = compute_tissue_mask(slide, cfg)
+    for _, _, _, patch in iter_tissue_patches(slide, cfg, mask=mask):
         calib.append(patch)
         if len(calib) >= n_cal:
             break
@@ -277,7 +300,7 @@ def _calibrate_int8(config, variables, slides, cfg, batch_size):
     variables = dict(variables)
     variables["qtree"] = jax.device_put(qtree)
     print(f"int8: calibrated on {len(calib)} tiles of {slides[0][1]}")
-    return variables
+    return variables, mask
 
 
 def main(argv=None):
@@ -305,11 +328,14 @@ def main(argv=None):
     )
     variables = restore_maybe_folded(config, adapter, init_adapter, probe,
                                      args.seed)
+    masks: dict[str, np.ndarray] = {}
     if quant:
-        variables = _calibrate_int8(config, variables, slides, cfg,
-                                    batch_size)
+        variables, masks[slides[0][0]] = _calibrate_int8(
+            config, variables, slides, cfg, batch_size
+        )
 
     device_put_fn = make_device_put(config)  # mesh: {"dp": N} → sharded serve
+    check_mesh_batch(device_put_fn, batch_size)
     if device_put_fn is not None:
         from multimodalbrainsurvival_tpu.parallel.sharding import (
             replicated_shardings,
@@ -331,7 +357,7 @@ def main(argv=None):
         slide = open_slide(path)
         feats, locs = stream_slide_features(
             patch_extract, variables, slide, cfg, batch_size,
-            device_put_fn=device_put_fn,
+            device_put_fn=device_put_fn, mask=masks.get(path),
         )
         if feats.shape[0] == 0:
             print(f"{sid}: no tissue tiles — skipped")

@@ -48,10 +48,10 @@ from multimodalbrainsurvival_tpu.cli.joint_train import build_joint_model
 from multimodalbrainsurvival_tpu.cli.slide_extractfeatures import (
     _calibrate_int8,
     _tail_variables,
+    check_mesh_batch,
     make_patch_extract,
     pad_slide_bag,
-    resolve_slide_path,
-    slide_id_for,
+    resolve_slides,
     stream_slide_features,
     tile_config,
 )
@@ -90,13 +90,9 @@ def main(argv=None):
     rna_cols = [c for c in df.columns if c.startswith("rna_")]
     if not rna_cols:
         raise ValueError(f"{config['slide_csv_path']}: no rna_* columns")
-    root = config.get("slide_path", "")
-    slides = [
-        (resolve_slide_path(root, str(r["wsi_file_name"])),
-         slide_id_for(str(r["wsi_file_name"])),
-         str(r["case"]) if "case" in df.columns else None)
-        for _, r in df.iterrows()
-    ]
+    # one slide-resolution implementation for both streaming CLIs; rows stay
+    # aligned with df (resolve_slides applies the same --quick pre-slice)
+    slides = resolve_slides(config, limit=2 if args.quick else None)
 
     cfg = tile_config(config)
     batch_size = int(config.batch_size)
@@ -116,11 +112,14 @@ def main(argv=None):
     )
     variables = restore_maybe_folded(config, adapter, init_adapter, probe,
                                      args.seed)
+    masks: dict[str, np.ndarray] = {}
     if quant:
-        variables = _calibrate_int8(config, variables, slides, cfg,
-                                    batch_size)
+        variables, masks[slides[0][0]] = _calibrate_int8(
+            config, variables, slides, cfg, batch_size
+        )
 
     device_put_fn = make_device_put(config)
+    check_mesh_batch(device_put_fn, batch_size)
     if device_put_fn is not None:
         from multimodalbrainsurvival_tpu.parallel.sharding import (
             replicated_shardings,
@@ -140,14 +139,13 @@ def main(argv=None):
         slide = open_slide(path)
         feats, _ = stream_slide_features(
             patch_extract, variables, slide, cfg, batch_size,
-            device_put_fn=device_put_fn,
+            device_put_fn=device_put_fn, mask=masks.get(path),
         )
         if feats.shape[0] == 0:
             print(f"{sid}: no tissue tiles — skipped")
             continue
         scores = joint_tail(variables, feats, rna)
-        row = {"slide": sid, "case": case if case is not None else sid,
-               "n_patches": feats.shape[0]}
+        row = {"slide": sid, "case": case, "n_patches": feats.shape[0]}
         if scores.shape[-1] == 1:
             row["score"] = float(scores[0])
         else:

@@ -89,7 +89,13 @@ class TorchBatchNorm(nn.Module):
             x32 = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            # E[x²]−E[x]² can round below -eps for a near-constant channel
+            # with |mean| ≳ 10, and rsqrt would emit NaN; torch can never
+            # produce a negative variance, so the clamp costs no parity
+            # (flax.linen.BatchNorm clips the same way)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean), 0.0
+            )
             n = 1
             for a in axes:
                 n *= x.shape[a]

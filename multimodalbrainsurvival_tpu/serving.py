@@ -38,6 +38,29 @@ ARTIFACT_FILE = "serving.jaxexport"
 META_FILE = "meta.json"
 
 
+def _write_artifact(out_dir: str, exported, meta: dict,
+                    extra_meta: dict | None) -> dict:
+    """Shared export tail: serialize the program, write the blob and
+    ``meta.json`` (common keys filled here, kind-specific ones from
+    ``meta``), return the final metadata dict."""
+    import jax
+
+    blob = exported.serialize()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
+        f.write(blob)
+    meta = {
+        "artifact": ARTIFACT_FILE,
+        **meta,
+        "jax_version": jax.__version__,
+        "size_bytes": len(blob),
+    }
+    meta.update(extra_meta or {})
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
 def _mil_serving_fn(model, variables: dict, arch: str):
     """(patch_bag uint8 (B,bag,H,W,C), bag_mask (B,bag) f32) →
     {embedding (B,D), scores (B,out), attention (B,bag)} with the weights
@@ -117,19 +140,13 @@ def export_mil_artifact(
                              jnp.uint8),
         jax.ShapeDtypeStruct((b, g), jnp.float32),
     )
-    blob = exported.serialize()
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
-        f.write(blob)
-    meta = {
-        "artifact": ARTIFACT_FILE,
+    return _write_artifact(out_dir, exported, {
         "kind": "mil_serving",
         "arch": arch,
         "img_size": img_size,
         "in_channels": in_channels,
         "quantize": "int8" if variables.get("qtree") is not None else "",
         "platforms": list(platforms),
-        "jax_version": jax.__version__,
         "calling_convention": {
             "args": [
                 f"patch_bag uint8 (b, g, {img_size}, {img_size}, "
@@ -139,12 +156,7 @@ def export_mil_artifact(
             "returns": "dict(embedding (b, D) f32, scores (b, C) f32, "
                        "attention (b, g) f32)",
         },
-        "size_bytes": len(blob),
-    }
-    meta.update(extra_meta or {})
-    with open(os.path.join(out_dir, META_FILE), "w") as f:
-        json.dump(meta, f, indent=2)
-    return meta
+    }, extra_meta)
 
 
 def _table_serving_fn(model, variables: dict):
@@ -192,31 +204,20 @@ def export_table_artifact(
     exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
         jax.ShapeDtypeStruct((b, in_features), jnp.float32)
     )
-    blob = exported.serialize()
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
-        f.write(blob)
     returns = "dict(scores (b, C) f32"
     if callable(getattr(type(model), "extract", None)):
         returns += ", embedding (b, D) f32"
     returns += ")"
-    meta = {
-        "artifact": ARTIFACT_FILE,
+    return _write_artifact(out_dir, exported, {
         "kind": kind,
         "in_features": in_features,
         "quantize": "",
         "platforms": list(platforms),
-        "jax_version": jax.__version__,
         "calling_convention": {
             "args": [f"data float32 (b, {in_features})"],
             "returns": returns,
         },
-        "size_bytes": len(blob),
-    }
-    meta.update(extra_meta or {})
-    with open(os.path.join(out_dir, META_FILE), "w") as f:
-        json.dump(meta, f, indent=2)
-    return meta
+    }, extra_meta)
 
 
 def _joint_serving_fn(model, variables: dict, arch: str):
@@ -294,12 +295,7 @@ def export_joint_artifact(
         jax.ShapeDtypeStruct((b, g), jnp.float32),
         jax.ShapeDtypeStruct((b, rna_features), jnp.float32),
     )
-    blob = exported.serialize()
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT_FILE), "wb") as f:
-        f.write(blob)
-    meta = {
-        "artifact": ARTIFACT_FILE,
+    return _write_artifact(out_dir, exported, {
         "kind": "joint_serving",
         "arch": arch,
         "img_size": img_size,
@@ -307,7 +303,6 @@ def export_joint_artifact(
         "rna_features": rna_features,
         "quantize": "int8" if variables.get("qtree") is not None else "",
         "platforms": list(platforms),
-        "jax_version": jax.__version__,
         "calling_convention": {
             "args": [
                 f"patch_bag uint8 (b, g, {img_size}, {img_size}, "
@@ -317,12 +312,7 @@ def export_joint_artifact(
             ],
             "returns": "dict(embedding (b, D) f32, scores (b, C) f32)",
         },
-        "size_bytes": len(blob),
-    }
-    meta.update(extra_meta or {})
-    with open(os.path.join(out_dir, META_FILE), "w") as f:
-        json.dump(meta, f, indent=2)
-    return meta
+    }, extra_meta)
 
 
 @dataclass

@@ -84,8 +84,20 @@ class _PatchAdapterBase:
     def _preprocess(self, arrays, train, rng):
         do_aug = train and self.augment
         return preprocess_patches(
-            arrays["patch_bag"], train=do_aug, key=rng if do_aug else None
+            arrays["patch_bag"], train=do_aug, key=rng if do_aug else None,
+            dtype=self._preprocess_dtype(),
         )
+
+    def _preprocess_dtype(self):
+        # the whole augmentation chain runs in the model's compute dtype —
+        # in a bf16 model the f32 jitter chain was ~1.7 ms/step of pure VPU
+        # work the conv immediately rounded away (docs/DESIGN.md item 22);
+        # f32 models (the default, and every parity test) are bitwise
+        # unchanged
+        import jax.numpy as jnp
+
+        resnet = getattr(self.model, "resnet", None)
+        return getattr(resnet, "dtype", jnp.float32)
 
     def _model_inputs(self, x, arrays) -> tuple:
         return (x,)
@@ -167,6 +179,13 @@ class QuantizedMILAdapter(MILAdapter):
 
     arch: str = "resnet50"
 
+    def _preprocess_dtype(self):
+        # the int8 scales were calibrated on f32-preprocessed pixels
+        # (quantize_mil_resnet); keep serving preprocessing identical to it
+        import jax.numpy as jnp
+
+        return jnp.float32
+
     def _patch_feats(self, qtree, arrays):
         from multimodalbrainsurvival_tpu.models.quantize import (
             quantized_extract,
@@ -239,6 +258,13 @@ class QuantTrunkMILAdapter(MILAdapter):
     arch: str = "resnet50"
     trunk_stages: int = 3
     qtree: Any = None
+
+    def _preprocess_dtype(self):
+        # trunk scales were calibrated on f32-preprocessed pixels
+        # (quantize_trunk_for_training) — match them every step
+        import jax.numpy as jnp
+
+        return jnp.float32
 
     def _trunk_feats(self, arrays, train, rng_img):
         from multimodalbrainsurvival_tpu.models.quantize import (

@@ -340,3 +340,55 @@ def test_remat_blocks_is_numerically_identical():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         (g0, bs0), (g1, bs1),
     )
+
+
+def test_batchnorm_near_constant_channel_is_nan_free():
+    """E[x2]-E[x]2 rounds below zero for a near-constant channel with a
+    large mean; the train-mode variance clamp keeps rsqrt finite (torch can
+    never produce a negative batch variance)."""
+    from multimodalbrainsurvival_tpu.models.resnet import TorchBatchNorm
+
+    bn = TorchBatchNorm(use_running_average=False)
+    # constant 33.3 per channel: f32 E[x^2] - (E[x])^2 lands at ~-1e-4
+    x = jnp.full((4, 7, 7, 8), 33.3, jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    y, upd = bn.apply(v, x, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(upd["batch_stats"]["var"])).all()
+    assert (np.asarray(upd["batch_stats"]["var"]) >= 0).all()
+
+
+def test_preprocess_runs_in_model_compute_dtype():
+    """The augmentation/normalize chain materializes in the model's compute
+    dtype (bf16 models stop paying an f32 jitter chain the conv rounds
+    away); f32 models and the int8 adapters (calibrated on f32 pixels) are
+    unchanged. docs/DESIGN.md item 22."""
+    from types import SimpleNamespace
+
+    from multimodalbrainsurvival_tpu.models import resnet as R
+    from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        MILAdapter,
+        QuantTrunkMILAdapter,
+        QuantizedMILAdapter,
+    )
+
+    u8 = np.random.default_rng(0).integers(0, 255, (2, 8, 8, 3), np.uint8)
+    assert preprocess_patches(jnp.asarray(u8), train=False).dtype == jnp.float32
+    out = preprocess_patches(
+        jnp.asarray(u8), train=True, key=jax.random.PRNGKey(0),
+        dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.bfloat16
+
+    def mk(dtype):
+        # the adapters read only model.resnet.dtype for this decision
+        return SimpleNamespace(resnet=R.resnet18(dtype=dtype))
+
+    assert MILAdapter(model=mk(jnp.bfloat16))._preprocess_dtype() == jnp.bfloat16
+    assert MILAdapter(model=mk(jnp.float32))._preprocess_dtype() == jnp.float32
+    # quantized adapters pin f32: their scales were calibrated on f32 pixels
+    assert (QuantizedMILAdapter(model=mk(jnp.bfloat16))._preprocess_dtype()
+            == jnp.float32)
+    assert (QuantTrunkMILAdapter(model=mk(jnp.bfloat16))._preprocess_dtype()
+            == jnp.float32)

@@ -374,3 +374,20 @@ def test_streaming_slide_features_int8(tmp_path, cohort):
             np.linalg.norm(f32, axis=1) * np.linalg.norm(i8, axis=1), 1e-9
         )
         assert cos.min() > 0.99, cos.min()
+
+
+def test_check_mesh_batch_rejects_indivisible_batch():
+    """Streaming batches shard over the mesh's dp axis; an indivisible
+    batch_size must fail loudly at startup, not as an opaque XLA sharding
+    error mid-slide."""
+    from types import SimpleNamespace
+
+    from multimodalbrainsurvival_tpu.cli.slide_extractfeatures import (
+        check_mesh_batch,
+    )
+
+    check_mesh_batch(None, 7)  # no mesh: anything goes
+    fn = SimpleNamespace(mesh=SimpleNamespace(shape={"dp": 4}))
+    check_mesh_batch(fn, 8)
+    with pytest.raises(ValueError, match="divisible by dp=4"):
+        check_mesh_batch(fn, 6)

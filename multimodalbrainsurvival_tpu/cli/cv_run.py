@@ -1,0 +1,225 @@
+"""K-fold cross-validation orchestrator (beyond-reference convenience).
+
+The reference's published workflow evaluates every pipeline with K-fold CV,
+but ships no driver for it: the user hand-splits the cohort, writes K config
+files whose ``flag`` contains ``cv`` (the magic substring the savescore
+naming keys on — ``2_GeneExpress_savescore.py:186-190``; our
+``cli/_common.savescore_name``), and runs the task's train then savescore
+script once per fold. This CLI automates exactly that loop for any of the
+four trainable pipelines:
+
+    python -m multimodalbrainsurvival_tpu.cli.cv_run \
+        --config config_rna_train.json --task rna --folds 5
+
+- **Split**: case-level (every row of a case lands in the same fold — no
+  leakage across train/val, the error mode case-replicated survival cohorts
+  invite), stratified by the case's event indicator so each fold holds
+  events, deterministic under ``--seed``. The cohort is ``cv_csv_path`` if
+  set, else the union of the base config's train+val CSVs.
+- **Per fold k (1-based)**: writes ``<checkpoint_path>/cv/fold{k}/
+  {train,val}.csv`` and a derived config with ``flag: "<flag>_cv{k}"``, then
+  runs the task's train CLI and (unless ``--no_savescore``) its savescore
+  CLI against the fold's best checkpoint
+  (``<checkpoint_path>/models/<flag>_cv{k}/model_dict_best``). Score frames
+  land under ``<checkpoint_path>/outputs/<flag>_cv{k}/`` with the
+  reference's ``_cv`` file naming, so MergeScores / LateFusion consume them
+  unchanged.
+- **Summary**: for survival tasks, per-fold val/test C-index (one
+  ``ops.metrics.survival_ci`` implementation, like every driver) plus
+  mean +/- std across folds, printed and written to
+  ``<checkpoint_path>/cv_summary.csv``.
+
+Config keys: ``cv_csv_path`` (optional single-cohort CSV), ``cv_folds``
+(overrides ``--folds``, config-over-args like the reference's flag
+handling). Everything else is the task's normal train config; ``mesh`` /
+``cache_patches_on_device`` / ``quantize_trunk`` etc. apply per fold
+unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from multimodalbrainsurvival_tpu.cli._common import load_config, make_parser
+
+TASKS = ("rna", "histo", "feature", "joint")
+
+
+def _task_mains(task: str):
+    """(train_main, savescore_main) for a pipeline, imported lazily so one
+    task's optional deps never block another's run."""
+    if task == "rna":
+        from multimodalbrainsurvival_tpu.cli import rna_savescore, rna_train
+
+        return rna_train.main, rna_savescore.main
+    if task == "histo":
+        from multimodalbrainsurvival_tpu.cli import histo_savescore, histo_train
+
+        return histo_train.main, histo_savescore.main
+    if task == "feature":
+        from multimodalbrainsurvival_tpu.cli import (
+            feature_savescore,
+            feature_train,
+        )
+
+        return feature_train.main, feature_savescore.main
+    if task == "joint":
+        from multimodalbrainsurvival_tpu.cli import joint_savescore, joint_train
+
+        return joint_train.main, joint_savescore.main
+    raise ValueError(f"--task must be one of {TASKS}, got {task!r}")
+
+
+def load_cohort(config) -> pd.DataFrame:
+    """The frame to split: ``cv_csv_path`` or train ∪ val rows."""
+    if config.get("cv_csv_path"):
+        return pd.read_csv(config["cv_csv_path"])
+    frames = [pd.read_csv(config[k]) for k in ("train_csv_path", "val_csv_path")
+              if config.get(k)]
+    if not frames:
+        raise ValueError("config needs cv_csv_path or train/val_csv_path")
+    return pd.concat(frames, ignore_index=True)
+
+
+def assign_folds(df: pd.DataFrame, k: int, seed: int) -> dict[str, int]:
+    """case → fold index. Case-level so multi-WSI/multi-row cases never
+    straddle a fold boundary; stratified on the case's event indicator
+    (max ``vital_status`` over its rows) so no fold is event-free."""
+    if "case" not in df.columns:
+        raise ValueError("cohort CSV needs a 'case' column for CV splitting")
+    cases = df["case"].astype(str)
+    if "vital_status" in df.columns:
+        strata = df.groupby(cases, sort=True)["vital_status"].max()
+    else:
+        strata = pd.Series(0, index=sorted(cases.unique()))
+    if len(strata) < k:
+        raise ValueError(f"{len(strata)} cases cannot fill {k} folds")
+    rng = np.random.default_rng(seed)
+    fold_of: dict[str, int] = {}
+    for _, group in strata.groupby(strata):
+        ids = list(group.index)
+        rng.shuffle(ids)
+        # round-robin with a random phase: each stratum spreads evenly over
+        # the folds instead of always loading fold 0 first
+        phase = int(rng.integers(k))
+        for i, case in enumerate(ids):
+            fold_of[case] = (i + phase) % k
+    return fold_of
+
+
+def _fold_ci(output_dir: str, flag_k: str, split: str):
+    """C-index of one fold's saved ``<split>`` score frame, or None when the
+    task wrote no survival frame (classification) or skipped the split."""
+    pattern = os.path.join(output_dir, f"*_{split}_*{flag_k}*_df.csv")
+    matches = sorted(glob.glob(pattern))
+    if not matches:
+        return None
+    frame = pd.read_csv(matches[0])
+    need = {"score", "survival_months", "vital_status"}
+    if not need.issubset(frame.columns):
+        return None
+    from multimodalbrainsurvival_tpu.ops.metrics import survival_ci
+
+    ci, _ = survival_ci(
+        frame["score"].to_numpy(),
+        list(frame["id"] if "id" in frame.columns else frame.index),
+        frame["survival_months"].to_numpy(),
+        frame["vital_status"].to_numpy(),
+    )
+    return float(ci)
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--task", type=str, required=True,
+                        help=f"pipeline to cross-validate: {'/'.join(TASKS)}")
+    parser.add_argument("--folds", type=int, default=5,
+                        help="number of CV folds (config cv_folds overrides)")
+    parser.add_argument("--no_savescore", type=int, default=0,
+                        help="1 = train the folds only, skip score export")
+    args = parser.parse_args(argv)
+    train_main, savescore_main = _task_mains(args.task)
+    config, flag, checkpoint_path, _ = load_config(args)
+    k = int(config.get("cv_folds", 0) or args.folds)
+
+    df = load_cohort(config)
+    fold_of = assign_folds(df, k, args.seed)
+    folds = df["case"].astype(str).map(fold_of)
+    cv_dir = os.path.join(checkpoint_path, "cv")
+
+    child_args = ["--seed", str(args.seed)]
+    if args.quick:
+        child_args += ["--quick", "1"]
+
+    rows = []
+    for f in range(k):
+        fold_dir = os.path.join(cv_dir, f"fold{f + 1}")
+        os.makedirs(fold_dir, exist_ok=True)
+        train_csv = os.path.join(fold_dir, "train.csv")
+        val_csv = os.path.join(fold_dir, "val.csv")
+        df[folds != f].to_csv(train_csv, index=False)
+        df[folds == f].to_csv(val_csv, index=False)
+
+        flag_k = f"{flag}_cv{f + 1}"
+        raw = {key: v for key, v in dict(config.raw).items()
+               if not key.startswith("cv_")}
+        raw.update(
+            train_csv_path=train_csv,
+            val_csv_path=val_csv,
+            # an unseen test split stays fixed across folds when the base
+            # config has one; else fall back to the fold's val split so every
+            # train CLI (which loads all three) still runs
+            test_csv_path=config.get("test_csv_path") or val_csv,
+            flag=flag_k,
+        )
+        cfg_path = os.path.join(fold_dir, "config_train.json")
+        with open(cfg_path, "w") as fh:
+            json.dump(raw, fh, indent=2)
+
+        n_val = int((folds == f).sum())
+        print(f"=== fold {f + 1}/{k}: {len(df) - n_val} train rows, "
+              f"{n_val} val rows (flag {flag_k}) ===")
+        train_main(["--config", cfg_path] + child_args)
+
+        row = {"fold": f + 1, "flag": flag_k,
+               "n_train_rows": len(df) - n_val, "n_val_rows": n_val}
+        if not args.no_savescore:
+            output_dir = os.path.join(checkpoint_path, "outputs", flag_k)
+            score_raw = dict(
+                raw,
+                model_path=os.path.join(checkpoint_path, "models", flag_k,
+                                        "model_dict_best"),
+                restore_path="",
+                output_path=output_dir,
+            )
+            score_path = os.path.join(fold_dir, "config_savescore.json")
+            with open(score_path, "w") as fh:
+                json.dump(score_raw, fh, indent=2)
+            savescore_main(["--config", score_path] + child_args)
+            for split in ("val", "test"):
+                ci = _fold_ci(output_dir, flag_k, split)
+                if ci is not None:
+                    row[f"{split}_CI"] = ci
+        rows.append(row)
+
+    summary = pd.DataFrame(rows)
+    for split in ("val", "test"):
+        col = f"{split}_CI"
+        if col in summary.columns:
+            # CI is NaN for a fold with no comparable pairs (tiny or fully
+            # censored val split) — report over the folds where it exists
+            good = summary[col].dropna()
+            print(f"CV {split} CI: {good.mean():.4f} "
+                  f"+/- {good.std(ddof=0):.4f} over {len(good)}/{k} folds")
+    out = os.path.join(checkpoint_path, "cv_summary.csv")
+    summary.to_csv(out, index=False)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,8 @@ KNOWN_KEYS = {
     # streaming slide→features serving (cli/slide_extractfeatures.py)
     "slide_csv_path", "slide_path", "slides", "max_patches_per_slide",
     "dezoom_factor", "background_threshold", "save_patch_features",
+    # K-fold cross-validation orchestrator (cli/cv_run.py)
+    "cv_csv_path", "cv_folds",
 }
 
 

@@ -1,0 +1,225 @@
+"""Survival evaluation of savescore frames: KM, log-rank, bootstrap C-index.
+
+The paper's downstream analysis (Steyaert et al. 2022) — which the reference
+repo leaves to external R / lifelines tooling — as one command over the score
+frames every savescore CLI writes (columns ``id, score, survival_months,
+vital_status``; ``3_HistoPath_savescore.py:110-117`` schema):
+
+- Harrell's C-index with a case-resampled bootstrap confidence interval.
+- Risk stratification at the **median training score** (pass the train
+  split's frame via ``--train_scores``; falls back to the evaluated frame's
+  own median otherwise, and the report records which).
+- Kaplan-Meier curves per risk group with Greenwood log-minus-log bands,
+  per-group median survival, and the log-rank test between groups.
+
+Outputs per input frame ``<name>.csv`` under ``--output_dir``:
+
+- ``evaluation_<name>.json`` — the full report (also printed).
+- ``km_<name>.csv`` — plot-ready per-group KM curves (time, survival, band,
+  at-risk, observed).
+- ``km_<name>.png`` — the KM figure (``--plot 1``; matplotlib).
+
+Works on ANY of the pipelines' frames (pathology / RNA / early / joint) and
+on the ``cv_run`` per-fold frames unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from multimodalbrainsurvival_tpu.ops.survival import (
+    bootstrap_concordance,
+    kaplan_meier,
+    logrank_test,
+    risk_groups,
+)
+
+GROUP_NAMES = {0: "low", 1: "high"}
+# dataviz reference palette, categorical slots 1-2 (validated order):
+# low risk = blue, high risk = orange; light-mode surface/ink tokens
+SERIES = {"low": "#2a78d6", "high": "#eb6834"}
+SURFACE = "#fcfcfb"
+INK = "#0b0b0b"
+INK_2 = "#52514e"
+
+
+def _load_frame(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path, header=0)
+    missing = {"score", "survival_months", "vital_status"} - set(df.columns)
+    if missing:
+        raise SystemExit(
+            f"{path}: not a savescore frame — missing columns {sorted(missing)}"
+        )
+    return df
+
+
+def evaluate_frame(df: pd.DataFrame, cutoff: float | None,
+                   n_boot: int, seed: int, alpha: float = 0.05):
+    """Full survival report for one score frame. Returns (report, km_frame)."""
+    scores = df["score"].to_numpy(dtype=np.float64)
+    months = df["survival_months"].to_numpy(dtype=np.float64)
+    events = df["vital_status"].to_numpy().astype(bool)
+
+    boot = bootstrap_concordance(months, scores, events,
+                                 n_boot=n_boot, alpha=alpha, seed=seed)
+    cutoff_source = "self_median" if cutoff is None else "train_median"
+    grp, cutoff = risk_groups(scores, cutoff=cutoff)
+
+    report = {
+        "n_cases": int(len(df)),
+        "n_events": int(events.sum()),
+        **boot,
+        "cutoff": cutoff,
+        "cutoff_source": cutoff_source,
+        "groups": {},
+    }
+
+    km_rows = []
+    curves = {}
+    for g in (0, 1):
+        name = GROUP_NAMES[g]
+        sel = grp == g
+        if not sel.any():
+            report["groups"][name] = {"n": 0, "events": 0,
+                                      "median_survival": None}
+            continue
+        km = kaplan_meier(months[sel], events[sel], alpha=alpha)
+        curves[name] = (km, months[sel], events[sel])
+        med = km.median_survival
+        report["groups"][name] = {
+            "n": int(sel.sum()),
+            "events": int(events[sel].sum()),
+            "median_survival": med if np.isfinite(med) else None,
+        }
+        for i in range(km.time.size):
+            km_rows.append({
+                "group": name,
+                "time": km.time[i],
+                "survival": km.survival[i],
+                "ci_lower": km.ci_lower[i],
+                "ci_upper": km.ci_upper[i],
+                "at_risk": km.at_risk[i],
+                "observed": km.observed[i],
+            })
+
+    if len(curves) == 2:
+        lr = logrank_test(months, events, grp)
+        report["logrank_chi2"] = lr.chi2
+        report["logrank_p"] = lr.p_value
+    else:
+        report["logrank_chi2"] = report["logrank_p"] = None
+
+    return report, pd.DataFrame(km_rows), curves
+
+
+def plot_km(curves: dict, report: dict, out_png: str, title: str) -> None:
+    """KM step plot: 2 series (validated palette order), Greenwood bands,
+    censor ticks, direct labels + legend, recessive grid, single axis."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7.0, 4.6), dpi=150)
+    fig.patch.set_facecolor(SURFACE)
+    ax.set_facecolor(SURFACE)
+
+    t_max = 0.0
+    for name, (km, months, events) in curves.items():
+        color = SERIES[name]
+        # right-continuous step curve anchored at S(0)=1
+        xs = np.concatenate([[0.0], km.time])
+        ys = np.concatenate([[1.0], km.survival])
+        ax.step(xs, ys, where="post", color=color, lw=2.0,
+                label=f"{name} risk (n={report['groups'][name]['n']})",
+                solid_capstyle="butt", zorder=3)
+        finite = np.isfinite(km.ci_lower) & np.isfinite(km.ci_upper)
+        if finite.any():
+            ax.fill_between(km.time[finite], km.ci_lower[finite],
+                            km.ci_upper[finite], step="post",
+                            color=color, alpha=0.14, lw=0, zorder=2)
+        # censor ticks on the curve
+        cens = np.sort(months[~events])
+        if cens.size:
+            ax.plot(cens, km.step_function(cens), linestyle="none",
+                    marker="|", markersize=7, markeredgewidth=1.2,
+                    color=color, zorder=4)
+        t_max = max(t_max, float(months.max()))
+
+    p = report.get("logrank_p")
+    if p is not None:
+        label = f"log-rank p = {p:.2e}" if p < 1e-3 else f"log-rank p = {p:.3f}"
+        ax.text(0.985, 0.97, label, transform=ax.transAxes,
+                ha="right", va="top", fontsize=9, color=INK_2)
+
+    ax.set_xlim(0, t_max * 1.02 if t_max else 1.0)
+    ax.set_ylim(0.0, 1.02)
+    ax.set_xlabel("Time (months)", color=INK)
+    ax.set_ylabel("Survival probability", color=INK)
+    ax.set_title(title, color=INK, fontsize=11, loc="left")
+    ax.grid(axis="y", color="#e4e3df", lw=0.8, zorder=1)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color(INK_2)
+    ax.tick_params(colors=INK_2, labelsize=9)
+    leg = ax.legend(loc="lower left", frameon=False, fontsize=9)
+    for text in leg.get_texts():
+        text.set_color(INK)
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scores", nargs="+", required=True,
+                   help="savescore frame(s) to evaluate (val/test splits)")
+    p.add_argument("--train_scores", default="",
+                   help="train-split frame; fixes the risk cutoff at ITS "
+                        "median score (the paper's protocol)")
+    p.add_argument("--output_dir", default="evaluation")
+    p.add_argument("--n_boot", type=int, default=1000,
+                   help="bootstrap resamples for the C-index CI")
+    p.add_argument("--alpha", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--plot", type=int, default=0,
+                   help="1 = also write km_<name>.png")
+    a = p.parse_args(argv)
+
+    cutoff = None
+    if a.train_scores:
+        train_df = _load_frame(a.train_scores)
+        cutoff = float(np.median(train_df["score"].to_numpy(np.float64)))
+
+    os.makedirs(a.output_dir, exist_ok=True)
+    for path in a.scores:
+        name = os.path.splitext(os.path.basename(path))[0]
+        df = _load_frame(path)
+        report, km_frame, curves = evaluate_frame(
+            df, cutoff, n_boot=a.n_boot, seed=a.seed, alpha=a.alpha
+        )
+        report_path = os.path.join(a.output_dir, f"evaluation_{name}.json")
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2)
+        km_path = os.path.join(a.output_dir, f"km_{name}.csv")
+        km_frame.to_csv(km_path, index=False)
+        print(f"{name}: C-index {report['c_index']:.3f} "
+              f"[{report['ci_lower']:.3f}, {report['ci_upper']:.3f}] "
+              f"(n={report['n_cases']}, events={report['n_events']}); "
+              f"log-rank p={report['logrank_p']}")
+        print(f"wrote {report_path}")
+        print(f"wrote {km_path}")
+        if a.plot:
+            png_path = os.path.join(a.output_dir, f"km_{name}.png")
+            plot_km(curves, report, png_path, title=name)
+            print(f"wrote {png_path}")
+
+
+if __name__ == "__main__":
+    main()

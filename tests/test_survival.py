@@ -1,0 +1,242 @@
+"""Survival-statistics toolkit (ops/survival.py) + evaluate_scores CLI.
+
+Oracles: the classic Freireich 6-MP Kaplan-Meier table (hand-computable),
+and scipy's independent implementations — ``scipy.stats.ecdf`` on censored
+data for the KM curve and its log-log confidence band, ``scipy.stats.logrank``
+for the two-sample log-rank test. The k-sample path is pinned by its k=2
+reduction plus invariance properties.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalbrainsurvival_tpu.ops.survival import (
+    KaplanMeier,
+    bootstrap_concordance,
+    kaplan_meier,
+    logrank_test,
+    risk_groups,
+)
+
+# Freireich et al. 1963, 6-MP arm (21 leukemia patients; + = censored):
+# 6, 6, 6, 6+, 7, 9+, 10, 10+, 11+, 13, 16, 17+, 19+, 20+, 22, 23,
+# 25+, 32+, 32+, 34+, 35+
+FREIREICH_T = np.array([6, 6, 6, 6, 7, 9, 10, 10, 11, 13, 16, 17, 19, 20,
+                        22, 23, 25, 32, 32, 34, 35], dtype=float)
+FREIREICH_E = np.array([1, 1, 1, 0, 1, 0, 1, 0, 0, 1, 1, 0, 0, 0,
+                        1, 1, 0, 0, 0, 0, 0], dtype=bool)
+
+
+def test_km_matches_freireich_hand_values():
+    km = kaplan_meier(FREIREICH_T, FREIREICH_E)
+    np.testing.assert_array_equal(km.time, [6, 7, 10, 13, 16, 22, 23])
+    np.testing.assert_array_equal(km.at_risk, [21, 17, 15, 12, 11, 7, 6])
+    np.testing.assert_array_equal(km.observed, [3, 1, 1, 1, 1, 1, 1])
+    # the textbook product-limit values
+    expected = [18 / 21,
+                18 / 21 * 16 / 17,
+                18 / 21 * 16 / 17 * 14 / 15]
+    np.testing.assert_allclose(km.survival[:3], expected, rtol=1e-12)
+    np.testing.assert_allclose(km.survival[-1], 0.448, atol=5e-4)
+    # right-continuous step lookup
+    np.testing.assert_allclose(
+        km.step_function(np.array([0.0, 6.0, 6.5, 35.0])),
+        [1.0, expected[0], expected[0], km.survival[-1]],
+    )
+    # S never reaches 0.5 exactly... it does at t=23 (0.448)
+    assert km.median_survival == 23.0
+
+
+def test_km_matches_scipy_ecdf_curve_and_band():
+    from scipy import stats
+
+    rng = np.random.default_rng(7)
+    t = rng.exponential(10.0, size=200).round(1) + 0.1
+    c = rng.exponential(14.0, size=200).round(1) + 0.1
+    obs = np.minimum(t, c)
+    ev = t <= c
+
+    km = kaplan_meier(obs, ev)
+    sample = stats.CensoredData(
+        uncensored=obs[ev], right=obs[~ev]
+    )
+    sf = stats.ecdf(sample).sf
+    ours_at = km.step_function(sf.quantiles)
+    np.testing.assert_allclose(ours_at, sf.probabilities, rtol=1e-10)
+
+    band = sf.confidence_interval(confidence_level=0.95, method="log-log")
+    # compare at OUR event times (scipy's quantiles include censor times
+    # where the band just carries forward)
+    idx = np.searchsorted(sf.quantiles, km.time)
+    lo = band.low.probabilities[idx]
+    hi = band.high.probabilities[idx]
+    finite = np.isfinite(km.ci_lower) & np.isfinite(km.ci_upper)
+    np.testing.assert_allclose(km.ci_lower[finite], lo[finite], rtol=1e-8)
+    np.testing.assert_allclose(km.ci_upper[finite], hi[finite], rtol=1e-8)
+
+
+def test_km_all_censored_is_flat_unit():
+    km = kaplan_meier([3.0, 5.0, 9.0], [0, 0, 0])
+    assert km.time.size == 0
+    np.testing.assert_allclose(km.step_function(np.array([0.0, 100.0])), 1.0)
+    assert km.median_survival == float("inf")
+
+
+def test_logrank_two_sample_matches_scipy():
+    from scipy import stats
+
+    rng = np.random.default_rng(11)
+    n = 120
+    t0 = rng.exponential(10.0, n)
+    t1 = rng.exponential(16.0, n)
+    c = rng.exponential(20.0, 2 * n)
+    raw = np.concatenate([t0, t1])
+    obs = np.minimum(raw, c).round(2)
+    ev = raw <= c
+    grp = np.repeat([0, 1], n)
+
+    res = logrank_test(obs, ev, grp)
+    x = stats.CensoredData(uncensored=obs[:n][ev[:n]], right=obs[:n][~ev[:n]])
+    y = stats.CensoredData(uncensored=obs[n:][ev[n:]], right=obs[n:][~ev[n:]])
+    ref = stats.logrank(x, y)
+    # scipy's statistic is the signed normal deviate; ours is its square
+    np.testing.assert_allclose(res.chi2, ref.statistic**2, rtol=1e-10)
+    np.testing.assert_allclose(res.p_value, ref.pvalue, rtol=1e-8)
+    assert res.df == 1
+    # O and E sum to the same total event count
+    np.testing.assert_allclose(res.observed.sum(), res.expected.sum())
+
+
+def test_logrank_k_sample_properties():
+    rng = np.random.default_rng(3)
+    t = rng.exponential(10.0, 150).round(2) + 0.01
+    e = rng.random(150) < 0.7
+
+    # three groups drawn from the SAME distribution: chi2 small, p large
+    g3 = np.repeat([0, 1, 2], 50)
+    res = logrank_test(t, e, g3)
+    assert res.df == 2
+    assert res.p_value > 0.01
+
+    # group labels are nominal: permuting label names changes nothing
+    relabel = np.array([2, 0, 1])[g3]
+    res2 = logrank_test(t, e, relabel)
+    np.testing.assert_allclose(res2.chi2, res.chi2, rtol=1e-10)
+
+    # a strongly separated third group drives chi2 up
+    t_sep = t.copy()
+    t_sep[g3 == 2] += 30.0
+    res3 = logrank_test(t_sep, e, g3)
+    assert res3.chi2 > res.chi2
+    assert res3.p_value < 1e-4
+
+
+def test_risk_groups_median_split():
+    s = np.array([0.1, 0.2, 0.3, 0.4])
+    grp, cutoff = risk_groups(s)
+    assert cutoff == pytest.approx(0.25)
+    np.testing.assert_array_equal(grp, [0, 0, 1, 1])
+    # explicit (train-median) cutoff is honored; boundary goes low-risk
+    grp2, c2 = risk_groups(s, cutoff=0.3)
+    assert c2 == 0.3
+    np.testing.assert_array_equal(grp2, [0, 0, 0, 1])
+
+
+def test_bootstrap_concordance_deterministic_and_sane():
+    rng = np.random.default_rng(5)
+    n = 80
+    risk = rng.normal(size=n)
+    # higher risk → shorter survival, plus noise
+    t = np.exp(1.5 - risk + 0.3 * rng.normal(size=n))
+    e = rng.random(n) < 0.8
+
+    a = bootstrap_concordance(t, risk, e, n_boot=200, seed=42)
+    b = bootstrap_concordance(t, risk, e, n_boot=200, seed=42)
+    assert a == b  # seed-deterministic
+    assert 0.5 < a["c_index"] <= 1.0
+    assert a["ci_lower"] <= a["c_index"] <= a["ci_upper"]
+    assert 0.0 <= a["ci_lower"] and a["ci_upper"] <= 1.0
+    assert a["n_boot"] == 200
+
+    # anti-concordant scores land below 0.5
+    c = bootstrap_concordance(t, -risk, e, n_boot=50, seed=0)
+    assert c["c_index"] < 0.5
+
+
+def _write_frame(path, n, seed, hazard_spread=1.2):
+    """Synthetic savescore frame: score is a real (noisy) risk signal."""
+    rng = np.random.default_rng(seed)
+    score = rng.normal(size=n)
+    t = np.exp(2.0 - hazard_spread * score + 0.3 * rng.normal(size=n))
+    e = (rng.random(n) < 0.75).astype(int)
+    pd.DataFrame({
+        "id": [f"case{i}" for i in range(n)],
+        "score": score,
+        "survival_months": np.round(t, 2),
+        "vital_status": e,
+    }).to_csv(path)
+    return score
+
+
+def test_evaluate_scores_cli_end_to_end(tmp_path):
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    train_csv = tmp_path / "model_pathology_train_df.csv"
+    test_csv = tmp_path / "model_pathology_test_df.csv"
+    train_scores = _write_frame(train_csv, 120, seed=1)
+    _write_frame(test_csv, 90, seed=2)
+    out_dir = tmp_path / "eval"
+
+    main([
+        "--scores", str(test_csv),
+        "--train_scores", str(train_csv),
+        "--output_dir", str(out_dir),
+        "--n_boot", "100",
+        "--plot", "1",
+    ])
+
+    report_path = out_dir / "evaluation_model_pathology_test_df.json"
+    km_path = out_dir / "km_model_pathology_test_df.csv"
+    png_path = out_dir / "km_model_pathology_test_df.png"
+    assert report_path.exists() and km_path.exists() and png_path.exists()
+
+    rep = json.loads(report_path.read_text())
+    assert rep["n_cases"] == 90
+    # cutoff is the TRAIN median (the paper's protocol), not the test median
+    assert rep["cutoff"] == pytest.approx(float(np.median(train_scores)))
+    assert rep["cutoff_source"] == "train_median"
+    assert 0.5 < rep["c_index"] <= 1.0
+    assert rep["ci_lower"] <= rep["c_index"] <= rep["ci_upper"]
+    # a hazard_spread this strong must separate the groups decisively
+    assert rep["logrank_p"] < 0.01
+    assert rep["groups"]["high"]["n"] + rep["groups"]["low"]["n"] == 90
+    assert rep["groups"]["high"]["median_survival"] <= \
+        rep["groups"]["low"]["median_survival"]
+
+    km = pd.read_csv(km_path)
+    assert set(km.columns) >= {"group", "time", "survival",
+                               "ci_lower", "ci_upper", "at_risk", "observed"}
+    assert set(km["group"]) == {"low", "high"}
+    # PNG is a real image, not a zero-byte touch
+    assert os.path.getsize(png_path) > 1000
+
+
+def test_evaluate_scores_cli_self_cutoff(tmp_path):
+    """Without --train_scores the cutoff falls back to the frame's own median."""
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    csv = tmp_path / "scores.csv"
+    scores = _write_frame(csv, 60, seed=3)
+    out_dir = tmp_path / "eval"
+    main(["--scores", str(csv), "--output_dir", str(out_dir),
+          "--n_boot", "20"])
+    rep = json.loads((out_dir / "evaluation_scores.json").read_text())
+    assert rep["cutoff"] == pytest.approx(float(np.median(scores)))
+    assert rep["cutoff_source"] == "self_median"
+    assert not (out_dir / "km_scores.png").exists()  # plot is opt-in

@@ -11,12 +11,19 @@ vital_status``; ``3_HistoPath_savescore.py:110-117`` schema):
   own median otherwise, and the report records which).
 - Kaplan-Meier curves per risk group with Greenwood log-minus-log bands,
   per-group median survival, and the log-rank test between groups.
+- Cox proportional-hazards regression on the model score — univariable
+  always, and **covariate-adjusted** when clinical columns are supplied
+  (``--cohort <csv> --covariates age,gender``; merged ``id`` → ``case``,
+  categorical columns dummy-coded). Hazard ratios per score SD, Wald
+  tests, likelihood-ratio test (``ops/survival.cox_ph``).
 
 Outputs per input frame ``<name>.csv`` under ``--output_dir``:
 
 - ``evaluation_<name>.json`` — the full report (also printed).
 - ``km_<name>.csv`` — plot-ready per-group KM curves (time, survival, band,
   at-risk, observed).
+- ``cox_<name>.csv`` — per-covariate Cox summary table (coef, se, z, p,
+  HR + CI), one row block per fitted model.
 - ``km_<name>.png`` — the KM figure (``--plot 1``; matplotlib).
 
 Works on ANY of the pipelines' frames (pathology / RNA / early / joint) and
@@ -34,6 +41,7 @@ import pandas as pd
 
 from multimodalbrainsurvival_tpu.ops.survival import (
     bootstrap_concordance,
+    cox_ph,
     kaplan_meier,
     logrank_test,
     risk_groups,
@@ -117,6 +125,60 @@ def evaluate_frame(df: pd.DataFrame, cutoff: float | None,
     return report, pd.DataFrame(km_rows), curves
 
 
+def cox_models(df: pd.DataFrame, covariate_cols: list) -> tuple[dict, pd.DataFrame]:
+    """Univariable (score only) + optional adjusted Cox PH fits.
+
+    The score enters **per its own standard deviation** so the hazard ratio
+    reads "per 1 SD of model risk score" — comparable across pipelines whose
+    raw score scales differ. Categorical covariates are dummy-coded
+    (first level is the reference); rows with missing covariates drop with
+    a recorded count.
+    """
+    months = df["survival_months"].to_numpy(np.float64)
+    events = df["vital_status"].to_numpy().astype(bool)
+    score = df["score"].to_numpy(np.float64)
+    sd = score.std()
+    score_per_sd = score / sd if sd > 0 else score
+
+    out: dict = {}
+    rows = []
+
+    def _fit(tag, X, names, t, e):
+        try:
+            fit = cox_ph(t, e, X, names=names)
+        except (ValueError, np.linalg.LinAlgError) as err:
+            out[tag] = {"error": str(err)}
+            return
+        out[tag] = {
+            "covariates": fit.summary_rows(),
+            "lr_chi2": fit.lr_chi2,
+            "lr_p": fit.lr_p,
+            "log_likelihood": fit.log_likelihood,
+            "n": fit.n,
+            "n_events": fit.n_events,
+            "ties": fit.ties,
+        }
+        for r in fit.summary_rows():
+            rows.append({"model": tag, **r})
+
+    _fit("cox_univariable", score_per_sd[:, None], ["score_per_sd"],
+         months, events)
+
+    if covariate_cols:
+        covs = pd.get_dummies(df[covariate_cols], drop_first=True,
+                              dtype=np.float64)
+        keep = ~covs.isna().any(axis=1).to_numpy()
+        dropped = int((~keep).sum())
+        X = np.column_stack([score_per_sd[keep],
+                             covs.to_numpy(np.float64)[keep]])
+        _fit("cox_adjusted", X, ["score_per_sd"] + list(covs.columns),
+             months[keep], events[keep])
+        if isinstance(out.get("cox_adjusted"), dict):
+            out["cox_adjusted"]["n_dropped_missing"] = dropped
+
+    return out, pd.DataFrame(rows)
+
+
 def plot_km(curves: dict, report: dict, out_png: str, title: str) -> None:
     """KM step plot: 2 series (validated palette order), Greenwood bands,
     censor ticks, direct labels + legend, recessive grid, single axis."""
@@ -190,7 +252,26 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--plot", type=int, default=0,
                    help="1 = also write km_<name>.png")
+    p.add_argument("--cohort", default="",
+                   help="cohort CSV (reference ExampleData schema, `case` "
+                        "ids) providing clinical covariates to adjust for")
+    p.add_argument("--covariates", default="",
+                   help="comma-separated cohort columns for the adjusted "
+                        "Cox model (e.g. age,gender)")
     a = p.parse_args(argv)
+
+    covariate_cols = [c for c in a.covariates.split(",") if c]
+    cohort_df = None
+    if covariate_cols:
+        if not a.cohort:
+            raise SystemExit("--covariates needs --cohort")
+        cohort_df = pd.read_csv(a.cohort, header=0)
+        cohort_df.columns = [str(c).lstrip("﻿") for c in cohort_df.columns]
+        missing = set(covariate_cols) - set(cohort_df.columns)
+        if missing:
+            raise SystemExit(f"{a.cohort}: missing covariate column(s) "
+                             f"{sorted(missing)}")
+        cohort_df = cohort_df[["case"] + covariate_cols].astype({"case": str})
 
     cutoff = None
     if a.train_scores:
@@ -204,6 +285,19 @@ def main(argv=None):
         report, km_frame, curves = evaluate_frame(
             df, cutoff, n_boot=a.n_boot, seed=a.seed, alpha=a.alpha
         )
+        cox_df = df
+        if cohort_df is not None:
+            cox_df = df.assign(id=df["id"].astype(str)).merge(
+                cohort_df, left_on="id", right_on="case", how="inner")
+            if len(cox_df) < len(df):
+                print(f"# {name}: {len(df) - len(cox_df)} score rows have "
+                      f"no cohort match on id=case")
+        cox_report, cox_table = cox_models(cox_df, covariate_cols)
+        report.update(cox_report)
+        if len(cox_table):
+            cox_path = os.path.join(a.output_dir, f"cox_{name}.csv")
+            cox_table.to_csv(cox_path, index=False)
+            print(f"wrote {cox_path}")
         report_path = os.path.join(a.output_dir, f"evaluation_{name}.json")
         with open(report_path, "w") as f:
             json.dump(report, f, indent=2)
@@ -213,6 +307,16 @@ def main(argv=None):
               f"[{report['ci_lower']:.3f}, {report['ci_upper']:.3f}] "
               f"(n={report['n_cases']}, events={report['n_events']}); "
               f"log-rank p={report['logrank_p']}")
+        uni = report.get("cox_univariable", {})
+        for r in uni.get("covariates", []):
+            print(f"{name}: Cox HR per score SD {r['hr']:.3f} "
+                  f"[{r['hr_ci_lower']:.3f}, {r['hr_ci_upper']:.3f}], "
+                  f"p={r['p']:.3g}")
+        adj = report.get("cox_adjusted", {})
+        for r in adj.get("covariates", []):
+            print(f"{name}: adjusted Cox {r['covariate']}: HR {r['hr']:.3f} "
+                  f"[{r['hr_ci_lower']:.3f}, {r['hr_ci_upper']:.3f}], "
+                  f"p={r['p']:.3g}")
         print(f"wrote {report_path}")
         print(f"wrote {km_path}")
         if a.plot:

@@ -24,6 +24,15 @@ Definitions implemented:
 - **Median survival time** per group (first time S(t) drops to <= 0.5).
 - **Bootstrap confidence interval for the C-index**: case-level resampling
   with replacement, percentile interval, deterministic under a seed.
+- **Multivariable Cox proportional-hazards regression** (Newton-Raphson on
+  the partial likelihood, Breslow or Efron ties) with Wald standard errors,
+  hazard ratios + confidence intervals, likelihood-ratio and score tests,
+  and the Breslow baseline cumulative hazard — the paper's adjusted
+  analyses (model score + clinical covariates), which the reference leaves
+  to R's ``coxph``. Oracle identity: the score test of a binary-group Cox
+  model at beta = 0 equals the log-rank statistic when event times are
+  untied (tests/test_survival.py pins this against :func:`logrank_test`,
+  itself pinned against ``scipy.stats.logrank``).
 
 Everything is plain numpy on host — these run once per evaluation on
 hundreds-to-thousands of cases, which is negligible next to the device
@@ -251,3 +260,239 @@ def bootstrap_concordance(
         "alpha": float(alpha),
         "n_boot": int(draws.size),
     }
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional-hazards regression
+# ---------------------------------------------------------------------------
+
+
+def _cox_ll_grad_hess(beta, X, t, e, ties: str):
+    """Partial log-likelihood, score vector, and observed information.
+
+    ``X`` is (n, p) sorted ascending by ``t``. Uses reverse cumulative sums
+    for the risk-set moments S0 = sum w, S1 = sum x w, S2 = sum x x' w over
+    R(t) = {j : t_j >= t}; ties by Breslow (one shared denominator per tied
+    set) or Efron (the tied set leaves the denominator in d fractional
+    steps). Information is returned positive-definite (−Hessian).
+    """
+    n, p = X.shape
+    xb = X @ beta
+    # exp-offset keeps w finite for large |X beta|; log S0 adds it back
+    m = float(np.max(xb))
+    w = np.exp(xb - m)
+    xw = X * w[:, None]
+    xxw = X[:, :, None] * X[:, None, :] * w[:, None, None]
+    s0 = np.cumsum(w[::-1])[::-1]
+    s1 = np.cumsum(xw[::-1], axis=0)[::-1]
+    s2 = np.cumsum(xxw[::-1], axis=0)[::-1]
+
+    ll = 0.0
+    score = np.zeros(p)
+    info = np.zeros((p, p))
+    for et in np.unique(t[e]):
+        r = int(np.searchsorted(t, et, side="left"))
+        dsel = (t == et) & e
+        d = int(dsel.sum())
+        ll += float(xb[dsel].sum()) - d * m
+        if ties == "breslow":
+            ll -= d * np.log(s0[r])
+            mu = s1[r] / s0[r]
+            score += X[dsel].sum(axis=0) - d * mu
+            info += d * (s2[r] / s0[r] - np.outer(mu, mu))
+        elif ties == "efron":
+            wd = float(w[dsel].sum())
+            xwd = xw[dsel].sum(axis=0)
+            xxwd = xxw[dsel].sum(axis=0)
+            score += X[dsel].sum(axis=0)
+            for l in range(d):
+                phi = l / d
+                s0e = s0[r] - phi * wd
+                s1e = s1[r] - phi * xwd
+                s2e = s2[r] - phi * xxwd
+                ll -= np.log(s0e)
+                mu = s1e / s0e
+                score -= mu
+                info += s2e / s0e - np.outer(mu, mu)
+        else:
+            raise ValueError(f"unknown ties method {ties!r}")
+    return ll, score, info
+
+
+@dataclasses.dataclass
+class CoxPHResult:
+    """Fitted Cox PH model with Wald inference.
+
+    ``coef[i]`` is the log hazard ratio for ``names[i]``; ``hr`` / the CI
+    are on the hazard-ratio scale. ``baseline_time`` /
+    ``baseline_cumhaz`` give the Breslow baseline cumulative hazard at the
+    distinct event times, so S(t | x) = exp(-H0(t) * exp(x @ coef)).
+    """
+
+    names: list
+    coef: np.ndarray
+    se: np.ndarray
+    z: np.ndarray
+    p_value: np.ndarray
+    hr: np.ndarray
+    hr_ci_lower: np.ndarray
+    hr_ci_upper: np.ndarray
+    alpha: float
+    ties: str
+    log_likelihood: float
+    ll_null: float
+    lr_chi2: float
+    lr_p: float
+    score_chi2: float
+    score_p: float
+    n: int
+    n_events: int
+    n_iter: int
+    baseline_time: np.ndarray
+    baseline_cumhaz: np.ndarray
+
+    def summary_rows(self) -> list:
+        """Per-covariate dicts, ready for a DataFrame / JSON report."""
+        return [
+            {
+                "covariate": self.names[i],
+                "coef": float(self.coef[i]),
+                "se": float(self.se[i]),
+                "z": float(self.z[i]),
+                "p": float(self.p_value[i]),
+                "hr": float(self.hr[i]),
+                "hr_ci_lower": float(self.hr_ci_lower[i]),
+                "hr_ci_upper": float(self.hr_ci_upper[i]),
+            }
+            for i in range(len(self.names))
+        ]
+
+    def predict_survival(self, x_row, at: np.ndarray) -> np.ndarray:
+        """S(t | x) from the Breslow baseline (right-continuous lookup)."""
+        at = np.asarray(at, dtype=np.float64)
+        idx = np.searchsorted(self.baseline_time, at, side="right") - 1
+        h0 = np.concatenate([[0.0], self.baseline_cumhaz])[idx + 1]
+        risk = float(np.exp(np.asarray(x_row, np.float64) @ self.coef))
+        return np.exp(-h0 * risk)
+
+
+def cox_ph(
+    times,
+    events,
+    covariates,
+    names=None,
+    ties: str = "breslow",
+    alpha: float = 0.05,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+) -> CoxPHResult:
+    """Multivariable Cox proportional-hazards fit with Wald inference.
+
+    Newton-Raphson on the partial log-likelihood (Breslow or Efron ties)
+    with step-halving; converges when the score's max-norm drops below
+    ``tol``. Covariates are internally centered (the partial likelihood is
+    exactly invariant to location shifts, so the reported ``coef`` is
+    unchanged — only the Newton conditioning improves).
+
+    The reference computes only the C-index (``2_HistoPath_train.py:184-209``)
+    and defers regression analyses to external R tooling; this is the native
+    replacement. Consistency oracles live in tests/test_survival.py:
+    score test == log-rank on untied binary groups, MLE == an independent
+    scipy.optimize fit of a loop-written likelihood, SE == the
+    finite-difference observed information, and coef == ``ops.coxnet`` at
+    vanishing penalty.
+    """
+    from scipy.stats import chi2 as chi2_dist
+    from scipy.stats import norm
+
+    t, e = _as_arrays(times, events)
+    X = np.asarray(covariates, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    if X.shape[0] != t.size:
+        raise ValueError(f"covariates {X.shape} vs times {t.shape}")
+    n, p = X.shape
+    if names is None:
+        names = [f"x{i}" for i in range(p)]
+    names = list(names)
+    if len(names) != p:
+        raise ValueError(f"{len(names)} names for {p} covariates")
+    if not e.any():
+        raise ValueError("Cox PH needs at least one event")
+    const = np.ptp(X, axis=0) == 0
+    if const.any():
+        bad = [names[i] for i in np.flatnonzero(const)]
+        raise ValueError(f"constant covariate(s) {bad} are not identifiable")
+
+    order = np.argsort(t, kind="stable")
+    t, e, X = t[order], e[order], X[order]
+    center = X.mean(axis=0)
+    Xc = X - center
+
+    beta = np.zeros(p)
+    ll_null, score0, info0 = _cox_ll_grad_hess(beta, Xc, t, e, ties)
+    score_chi2 = float(score0 @ np.linalg.solve(info0, score0))
+
+    ll = ll_null
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        _, score, info = _cox_ll_grad_hess(beta, Xc, t, e, ties)
+        if float(np.max(np.abs(score))) < tol:
+            break
+        step = np.linalg.solve(info, score)
+        # step-halving: the partial likelihood is concave, but a full Newton
+        # step from a poor iterate can overshoot on near-separated data
+        scale = 1.0
+        for _ in range(30):
+            ll_new, _, _ = _cox_ll_grad_hess(beta + scale * step, Xc, t, e, ties)
+            if ll_new > ll - 1e-12:
+                break
+            scale *= 0.5
+        beta = beta + scale * step
+        ll = ll_new
+
+    ll, score, info = _cox_ll_grad_hess(beta, Xc, t, e, ties)
+    cov = np.linalg.inv(info)
+    se = np.sqrt(np.diag(cov))
+    z = beta / se
+    pvals = 2.0 * norm.sf(np.abs(z))
+    zcrit = norm.ppf(1.0 - alpha / 2.0)
+    lr_chi2 = float(2.0 * (ll - ll_null))
+
+    # Breslow baseline cumulative hazard at beta-hat: H0(t) = sum over event
+    # times <= t of d_t / S0(t). Computed on the UNcentered covariates so
+    # predict_survival takes raw rows.
+    xb = X @ beta
+    m = float(np.max(xb))
+    w = np.exp(xb - m)
+    s0 = np.cumsum(w[::-1])[::-1]
+    ets = np.unique(t[e])
+    increments = np.empty(ets.size)
+    for i, et in enumerate(ets):
+        r = int(np.searchsorted(t, et, side="left"))
+        d = int(np.sum((t == et) & e))
+        increments[i] = d / (s0[r] * np.exp(m))
+
+    return CoxPHResult(
+        names=names,
+        coef=beta,
+        se=se,
+        z=z,
+        p_value=pvals,
+        hr=np.exp(beta),
+        hr_ci_lower=np.exp(beta - zcrit * se),
+        hr_ci_upper=np.exp(beta + zcrit * se),
+        alpha=float(alpha),
+        ties=ties,
+        log_likelihood=float(ll),
+        ll_null=float(ll_null),
+        lr_chi2=lr_chi2,
+        lr_p=float(chi2_dist.sf(lr_chi2, df=p)),
+        score_chi2=score_chi2,
+        score_p=float(chi2_dist.sf(score_chi2, df=p)),
+        n=int(n),
+        n_events=int(e.sum()),
+        n_iter=n_iter,
+        baseline_time=ets,
+        baseline_cumhaz=np.cumsum(increments),
+    )

@@ -240,3 +240,228 @@ def test_evaluate_scores_cli_self_cutoff(tmp_path):
     assert rep["cutoff"] == pytest.approx(float(np.median(scores)))
     assert rep["cutoff_source"] == "self_median"
     assert not (out_dir / "km_scores.png").exists()  # plot is opt-in
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional-hazards regression
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_cohort(n, p, seed, tie_grid=None, binary_cols=()):
+    """Exponential survival with true log-hazard X @ beta, ~30% censoring."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p))
+    for j in binary_cols:
+        X[:, j] = (X[:, j] > 0).astype(float)
+    beta_true = np.linspace(0.8, -0.5, p)
+    lam = np.exp(X @ beta_true)
+    t_event = rng.exponential(1.0 / lam)
+    t_cens = rng.exponential(2.0 / np.median(lam))
+    t = np.minimum(t_event, t_cens)
+    e = t_event <= t_cens
+    if tie_grid is not None:
+        t = np.ceil(t * tie_grid) / tie_grid  # discretize -> tied times
+    return t, e, X
+
+
+def _naive_breslow_loglik(beta, X, t, e):
+    """Loop-written Breslow partial log-likelihood (independent of ops)."""
+    ll = 0.0
+    for et in np.unique(t[e]):
+        risk = t >= et
+        dead = (t == et) & e
+        ll += float(X[dead] @ beta).__float__() if X[dead].shape[0] == 1 \
+            else float((X[dead] @ beta).sum())
+        ll -= dead.sum() * np.log(np.exp(X[risk] @ beta).sum())
+    return ll
+
+
+def test_cox_score_test_equals_logrank_without_ties():
+    """Score test of a binary one-covariate Cox model at beta=0 is EXACTLY
+    the log-rank statistic when no event times tie (classic identity; our
+    logrank_test is itself pinned against scipy.stats.logrank above)."""
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    rng = np.random.default_rng(7)
+    n = 120
+    g = (rng.normal(size=n) > 0).astype(float)
+    t = rng.exponential(1.0 / np.exp(0.7 * g))  # continuous -> untied a.s.
+    e = rng.random(n) > 0.25
+    assert np.unique(t[e]).size == e.sum()  # no ties among events
+
+    fit = cox_ph(t, e, g, names=["group"])
+    lr = logrank_test(t, e, g.astype(int))
+    assert fit.score_chi2 == pytest.approx(lr.chi2, rel=1e-9)
+    assert fit.score_p == pytest.approx(lr.p_value, rel=1e-9)
+
+
+@pytest.mark.parametrize("ties", ["breslow", "efron"])
+def test_cox_mle_matches_independent_scipy_optimizer(ties):
+    """MLE == scipy.optimize on a loop-written likelihood; SE == the
+    finite-difference observed information of that same likelihood."""
+    from scipy.optimize import minimize
+
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    t, e, X = _synthetic_cohort(150, 3, seed=11)  # continuous times: no ties
+    assert np.unique(t[e]).size == e.sum()
+    fit = cox_ph(t, e, X, ties=ties, tol=1e-11)
+
+    # with no ties Breslow and Efron coincide, so one naive oracle serves both
+    nll = lambda b: -_naive_breslow_loglik(b, X, t, e)  # noqa: E731
+    opt = minimize(nll, np.zeros(3), method="BFGS",
+                   options={"gtol": 1e-10, "maxiter": 500})
+    np.testing.assert_allclose(fit.coef, opt.x, atol=5e-6)
+    assert fit.log_likelihood == pytest.approx(-opt.fun, abs=1e-8)
+
+    # central-difference Hessian of the naive loglik -> Wald SEs
+    h = 1e-4
+    p = 3
+    hess = np.zeros((p, p))
+    for i in range(p):
+        for j in range(p):
+            bpp = fit.coef.copy(); bpp[i] += h; bpp[j] += h
+            bpm = fit.coef.copy(); bpm[i] += h; bpm[j] -= h
+            bmp = fit.coef.copy(); bmp[i] -= h; bmp[j] += h
+            bmm = fit.coef.copy(); bmm[i] -= h; bmm[j] -= h
+            hess[i, j] = (nll(bpp) - nll(bpm) - nll(bmp) + nll(bmm)) / (4 * h * h)
+    se_fd = np.sqrt(np.diag(np.linalg.inv(hess)))
+    np.testing.assert_allclose(fit.se, se_fd, rtol=1e-4)
+
+
+def test_cox_efron_handles_ties_and_differs_from_breslow():
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    t, e, X = _synthetic_cohort(200, 2, seed=3, tie_grid=4.0)
+    assert np.unique(t[e]).size < e.sum()  # ties present
+    fb = cox_ph(t, e, X, ties="breslow")
+    fe = cox_ph(t, e, X, ties="efron")
+    assert not np.allclose(fb.coef, fe.coef)
+    # both converge: score ~ 0 at their own optimum via a tiny perturbation
+    for fit in (fb, fe):
+        assert fit.n_iter < 100
+        assert np.all(np.isfinite(fit.se)) and np.all(fit.se > 0)
+        # Wald internals are mutually consistent
+        np.testing.assert_allclose(fit.hr, np.exp(fit.coef))
+        np.testing.assert_allclose(fit.z, fit.coef / fit.se)
+
+
+def test_cox_matches_coxnet_at_vanishing_penalty():
+    """Unpenalized Newton fit == ops/coxnet's FISTA solution at tiny lambda
+    (two completely different optimizers on the same Breslow objective)."""
+    from multimodalbrainsurvival_tpu.ops.coxnet import _solve_path
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    t, e, X = _synthetic_cohort(120, 3, seed=21)
+    fit = cox_ph(t, e, X)
+    # coxnet standardizes internally (fit_coxnet:137-139); mirror that and
+    # map the FISTA solution back to the original scale
+    sd = X.std(0)
+    Xs = (X - X.mean(0)) / sd
+    betas = _solve_path(Xs.astype(np.float32), t.astype(np.float32),
+                        e.astype(np.float32), [1e-8], alpha=0.5,
+                        max_iter=4000)
+    np.testing.assert_allclose(fit.coef, betas[0] / sd, atol=5e-3)
+
+
+def test_cox_baseline_hazard_is_nelson_aalen_at_zero_effect():
+    """With an all-but-noise covariate forced to zero effect the Breslow
+    baseline reduces to Nelson-Aalen sum(d/n). Checked by fitting on a
+    covariate independent of survival and comparing H0 against
+    Nelson-Aalen computed at the FITTED beta by hand."""
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    rng = np.random.default_rng(5)
+    n = 80
+    t = rng.exponential(1.0, size=n)
+    e = rng.random(n) > 0.3
+    x = rng.normal(size=n)
+    fit = cox_ph(t, e, x)
+
+    w = np.exp(x * fit.coef[0])
+    expected = []
+    acc = 0.0
+    for et in fit.baseline_time:
+        acc += np.sum((t == et) & e) / w[t >= et].sum()
+        expected.append(acc)
+    np.testing.assert_allclose(fit.baseline_cumhaz, expected, rtol=1e-10)
+
+    # predict_survival: S(t|x) = exp(-H0 e^{x beta}); monotone in t, in [0,1]
+    s = fit.predict_survival([0.0], fit.baseline_time)
+    np.testing.assert_allclose(s, np.exp(-fit.baseline_cumhaz))
+    assert np.all(np.diff(s) <= 1e-12) and s[0] <= 1.0 and s[-1] >= 0.0
+
+
+def test_cox_lr_test_and_validation_errors():
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    t, e, X = _synthetic_cohort(100, 2, seed=9)
+    fit = cox_ph(t, e, X)
+    assert fit.lr_chi2 == pytest.approx(
+        2.0 * (fit.log_likelihood - fit.ll_null))
+    assert 0.0 <= fit.lr_p <= 1.0
+    assert fit.n == 100 and fit.n_events == int(e.sum())
+
+    with pytest.raises(ValueError, match="constant"):
+        cox_ph(t, e, np.ones((100, 1)))
+    with pytest.raises(ValueError, match="at least one event"):
+        cox_ph(t, np.zeros(100, bool), X)
+    with pytest.raises(ValueError, match="names"):
+        cox_ph(t, e, X, names=["only_one"])
+
+
+def test_evaluate_scores_cli_cox_adjusted(tmp_path):
+    """--cohort/--covariates produce the adjusted Cox section + table; the
+    univariable HR-per-SD matches a direct cox_ph fit on the same frame."""
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    csv = tmp_path / "scores.csv"
+    _write_frame(csv, 100, seed=4)
+    df = pd.read_csv(csv)
+
+    rng = np.random.default_rng(0)
+    pd.DataFrame({
+        "case": df["id"],
+        "age": rng.integers(40, 80, size=len(df)),
+        "gender": rng.choice(["F", "M"], size=len(df)),
+    }).to_csv(tmp_path / "cohort.csv", index=False)
+
+    out_dir = tmp_path / "eval"
+    main(["--scores", str(csv), "--output_dir", str(out_dir),
+          "--n_boot", "10", "--cohort", str(tmp_path / "cohort.csv"),
+          "--covariates", "age,gender"])
+
+    rep = json.loads((out_dir / "evaluation_scores.json").read_text())
+    uni = rep["cox_univariable"]["covariates"]
+    assert [r["covariate"] for r in uni] == ["score_per_sd"]
+
+    s = df["score"].to_numpy(np.float64)
+    direct = cox_ph(df["survival_months"], df["vital_status"].astype(bool),
+                    s / s.std(), names=["score_per_sd"])
+    assert uni[0]["hr"] == pytest.approx(float(direct.hr[0]), rel=1e-8)
+    assert uni[0]["p"] == pytest.approx(float(direct.p_value[0]), rel=1e-6)
+
+    adj = rep["cox_adjusted"]
+    assert {r["covariate"] for r in adj["covariates"]} == \
+        {"score_per_sd", "age", "gender_M"}
+    assert adj["n"] == 100 and adj["n_dropped_missing"] == 0
+    # the score stays a strong effect after adjusting for noise covariates
+    score_row = next(r for r in adj["covariates"]
+                     if r["covariate"] == "score_per_sd")
+    assert score_row["hr"] > 1.5 and score_row["p"] < 1e-4
+
+    cox_table = pd.read_csv(out_dir / "cox_scores.csv")
+    assert set(cox_table["model"]) == {"cox_univariable", "cox_adjusted"}
+    assert set(cox_table.columns) >= {"model", "covariate", "coef", "se",
+                                      "z", "p", "hr", "hr_ci_lower",
+                                      "hr_ci_upper"}
+
+
+def test_evaluate_scores_cli_covariates_require_cohort(tmp_path):
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    csv = tmp_path / "scores.csv"
+    _write_frame(csv, 30, seed=6)
+    with pytest.raises(SystemExit, match="--cohort"):
+        main(["--scores", str(csv), "--covariates", "age"])

@@ -157,6 +157,7 @@ def cox_models(df: pd.DataFrame, covariate_cols: list) -> tuple[dict, pd.DataFra
             "n": fit.n,
             "n_events": fit.n_events,
             "ties": fit.ties,
+            "converged": fit.converged,
         }
         for r in fit.summary_rows():
             rows.append({"model": tag, **r})
@@ -165,12 +166,16 @@ def cox_models(df: pd.DataFrame, covariate_cols: list) -> tuple[dict, pd.DataFra
          months, events)
 
     if covariate_cols:
-        covs = pd.get_dummies(df[covariate_cols], drop_first=True,
-                              dtype=np.float64)
-        keep = ~covs.isna().any(axis=1).to_numpy()
+        # Missing-row mask BEFORE dummy-coding: pd.get_dummies maps NaN in a
+        # categorical column to an all-zero dummy row (i.e. silently codes it
+        # as the reference level), so the NaN check must run on the raw
+        # covariate frame, not the dummy-coded one.
+        keep = ~df[covariate_cols].isna().any(axis=1).to_numpy()
         dropped = int((~keep).sum())
+        covs = pd.get_dummies(df.loc[keep, covariate_cols], drop_first=True,
+                              dtype=np.float64)
         X = np.column_stack([score_per_sd[keep],
-                             covs.to_numpy(np.float64)[keep]])
+                             covs.to_numpy(np.float64)])
         _fit("cox_adjusted", X, ["score_per_sd"] + list(covs.columns),
              months[keep], events[keep])
         if isinstance(out.get("cox_adjusted"), dict):
@@ -267,11 +272,17 @@ def main(argv=None):
             raise SystemExit("--covariates needs --cohort")
         cohort_df = pd.read_csv(a.cohort, header=0)
         cohort_df.columns = [str(c).lstrip("﻿") for c in cohort_df.columns]
-        missing = set(covariate_cols) - set(cohort_df.columns)
+        missing = set(covariate_cols + ["case"]) - set(cohort_df.columns)
         if missing:
-            raise SystemExit(f"{a.cohort}: missing covariate column(s) "
+            raise SystemExit(f"{a.cohort}: missing column(s) "
                              f"{sorted(missing)}")
         cohort_df = cohort_df[["case"] + covariate_cols].astype({"case": str})
+        if not cohort_df["case"].is_unique:
+            n_dup = int(cohort_df["case"].duplicated().sum())
+            print(f"# {a.cohort}: {n_dup} duplicate case row(s) dropped "
+                  f"(keeping first) — duplicates would replicate score rows "
+                  f"and understate Cox SEs")
+            cohort_df = cohort_df.drop_duplicates("case", keep="first")
 
     cutoff = None
     if a.train_scores:
@@ -292,6 +303,11 @@ def main(argv=None):
             if len(cox_df) < len(df):
                 print(f"# {name}: {len(df) - len(cox_df)} score rows have "
                       f"no cohort match on id=case")
+            elif len(cox_df) > len(df):
+                # cannot happen after the cohort dedupe above; guard anyway
+                print(f"# {name}: WARNING merge grew the frame "
+                      f"{len(df)} -> {len(cox_df)} rows (duplicate cohort "
+                      f"cases?) — Cox SEs would be understated")
         cox_report, cox_table = cox_models(cox_df, covariate_cols)
         report.update(cox_report)
         if len(cox_table):

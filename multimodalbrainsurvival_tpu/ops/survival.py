@@ -348,6 +348,7 @@ class CoxPHResult:
     n: int
     n_events: int
     n_iter: int
+    converged: bool
     baseline_time: np.ndarray
     baseline_cumhaz: np.ndarray
 
@@ -452,6 +453,19 @@ def cox_ph(
         ll = ll_new
 
     ll, score, info = _cox_ll_grad_hess(beta, Xc, t, e, ties)
+    converged = bool(float(np.max(np.abs(score))) < tol)
+    if not converged:
+        # near-complete separation / monotone likelihood: coefs and SEs are
+        # not trustworthy; flag instead of reporting as a clean fit
+        import warnings
+
+        warnings.warn(
+            f"cox_ph did not converge in {max_iter} iterations "
+            f"(score max-norm {float(np.max(np.abs(score))):.3g} >= tol "
+            f"{tol:g}); estimates may be unstable",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     cov = np.linalg.inv(info)
     se = np.sqrt(np.diag(cov))
     z = beta / se
@@ -493,6 +507,7 @@ def cox_ph(
         n=int(n),
         n_events=int(e.sum()),
         n_iter=n_iter,
+        converged=converged,
         baseline_time=ets,
         baseline_cumhaz=np.cumsum(increments),
     )

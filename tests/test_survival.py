@@ -465,3 +465,107 @@ def test_evaluate_scores_cli_covariates_require_cohort(tmp_path):
     _write_frame(csv, 30, seed=6)
     with pytest.raises(SystemExit, match="--cohort"):
         main(["--scores", str(csv), "--covariates", "age"])
+
+
+def test_cox_adjusted_drops_missing_categorical_rows(tmp_path):
+    """NaN in a CATEGORICAL covariate must drop the row, not silently code
+    it as the reference level (pd.get_dummies maps NaN -> all-zero dummies,
+    so the check must run before dummy-coding). Advisor r3 (medium)."""
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import cox_models
+
+    rng = np.random.default_rng(7)
+    n = 80
+    score = rng.normal(size=n)
+    t = np.exp(2.0 - 1.2 * score + 0.3 * rng.normal(size=n))
+    gender = rng.choice(["F", "M"], size=n).astype(object)
+    gender[:7] = None  # missing categoricals
+    df = pd.DataFrame({
+        "id": [f"case{i}" for i in range(n)],
+        "score": score,
+        "survival_months": np.round(t, 2),
+        "vital_status": 1,
+        "gender": gender,
+    })
+    out, table = cox_models(df, ["gender"])
+    adj = out["cox_adjusted"]
+    assert adj["n_dropped_missing"] == 7
+    assert adj["n"] == n - 7  # dropped, not coded as reference level
+
+    # ground truth: fit only the complete rows directly
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+    keep = pd.notna(df["gender"]).to_numpy()
+    s = df["score"].to_numpy(np.float64)
+    X = np.column_stack([
+        (s / s.std())[keep],
+        (df.loc[keep, "gender"] == "M").to_numpy(np.float64),
+    ])
+    direct = cox_ph(df["survival_months"].to_numpy()[keep],
+                    np.ones(keep.sum(), bool), X,
+                    names=["score_per_sd", "gender_M"])
+    got = {r["covariate"]: r["coef"] for r in adj["covariates"]}
+    assert got["score_per_sd"] == pytest.approx(float(direct.coef[0]),
+                                                rel=1e-8)
+    assert got["gender_M"] == pytest.approx(float(direct.coef[1]), rel=1e-8)
+
+
+def test_evaluate_scores_cohort_duplicate_cases_deduped(tmp_path, capsys):
+    """Duplicate `case` rows in the cohort CSV must not replicate score rows
+    (inflating n, understating SEs). Advisor r3 (low)."""
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    csv = tmp_path / "scores.csv"
+    _write_frame(csv, 60, seed=9)
+    df = pd.read_csv(csv)
+    cohort = pd.DataFrame({
+        "case": df["id"],
+        "age": np.arange(len(df)) % 50 + 30,
+    })
+    # duplicate the first 10 cases with a different age
+    dup = cohort.head(10).assign(age=99)
+    pd.concat([cohort, dup]).to_csv(tmp_path / "cohort.csv", index=False)
+
+    out_dir = tmp_path / "eval"
+    main(["--scores", str(csv), "--output_dir", str(out_dir),
+          "--n_boot", "10", "--cohort", str(tmp_path / "cohort.csv"),
+          "--covariates", "age"])
+    rep = json.loads((out_dir / "evaluation_scores.json").read_text())
+    assert rep["cox_adjusted"]["n"] == 60  # NOT 70
+    assert "duplicate case" in capsys.readouterr().out
+
+
+def test_evaluate_scores_cohort_missing_case_column(tmp_path):
+    """A cohort CSV without `case` exits cleanly, like other missing
+    columns, instead of a raw pandas KeyError. Advisor r3 (low)."""
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    csv = tmp_path / "scores.csv"
+    _write_frame(csv, 30, seed=11)
+    pd.DataFrame({"patient": ["case0"], "age": [50]}).to_csv(
+        tmp_path / "cohort.csv", index=False)
+    with pytest.raises(SystemExit, match="case"):
+        main(["--scores", str(csv), "--output_dir", str(tmp_path / "eval"),
+              "--cohort", str(tmp_path / "cohort.csv"),
+              "--covariates", "age"])
+
+
+def test_cox_ph_reports_nonconvergence():
+    """Monotone likelihood (complete separation) exhausts max_iter: the fit
+    must say so via `converged` + a RuntimeWarning rather than returning
+    huge coefs as a clean result. Advisor r3 (low)."""
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    # group 0 all dies first, group 1 all censored late -> beta -> -inf
+    t = np.array([1., 2., 3., 4., 10., 11., 12., 13.])
+    e = np.array([1, 1, 1, 1, 0, 0, 0, 0], bool)
+    x = np.array([0., 0., 0., 0., 1., 1., 1., 1.])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        fit = cox_ph(t, e, x, names=["g"], max_iter=5)
+    assert fit.converged is False
+
+    # a well-posed fit converges and says so
+    rng = np.random.default_rng(3)
+    n = 100
+    z = rng.normal(size=n)
+    tt = np.exp(1.0 - 0.5 * z + rng.normal(size=n))
+    fit2 = cox_ph(tt, np.ones(n, bool), z)
+    assert fit2.converged is True

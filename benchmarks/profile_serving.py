@@ -14,7 +14,8 @@ conv-shape group. Round-2 measurement on v5e-1 at batch 256 (total
 
 i.e. the fat-activation 1x1 convs dominate and sit at the measured
 ~819 GB/s bandwidth bound, which is what the fused-stage kernel attempt
-targeted (and could not beat — see benchmarks/kernel_bench.py).
+targeted (and could not beat — see docs/DESIGN.md item 8; the kernel was
+retired in round 4, code in git history up to round 3).
 
 Usage: python benchmarks/profile_serving.py [--batch 256] [--trace-dir DIR]
 """

@@ -216,13 +216,56 @@ def quantize_serving(config: Config, model, adapter, variables, probe):
                                 arch=config.model_name)
     variables = dict(variables)
     variables["qtree"] = jax.device_put(qtree)
-    cls = (QuantizedJointAdapter if isinstance(adapter, JointAdapter)
-           else QuantizedMILAdapter)
-    adapter = cls(
+    if isinstance(adapter, JointAdapter):
+        # the joint model's OTHER 105 MB weight stream — the RNA encoder —
+        # gets the same treatment (models/quantize.quantize_rna_encoder)
+        from multimodalbrainsurvival_tpu.models.quantize import (
+            quantize_rna_encoder,
+        )
+
+        variables["qtree_rna"] = jax.device_put(
+            quantize_rna_encoder(variables, [probe["rna_data"]],
+                                 submodule="rna_encoder")
+        )
+        adapter = QuantizedJointAdapter(
+            model=model, loader_kwargs=adapter.loader_kwargs,
+            arch=config.model_name,
+        )
+        print("quantized ResNet + RNA encoder to int8 (W8A8) for serving")
+        return variables, adapter
+    adapter = QuantizedMILAdapter(
         model=model, loader_kwargs=adapter.loader_kwargs,
         arch=config.model_name,
     )
     print("quantized ResNet to int8 (W8A8) for serving")
+    return variables, adapter
+
+
+def quantize_rna_serving(config: Config, model, adapter, variables, probe):
+    """Swap the float RNA serving path for the int8 (W8A8) one.
+
+    Calibrates the encoder's activation ranges on the probe batch, quantizes
+    the Dense stack (``models/quantize.quantize_rna_encoder`` — the
+    12,778×4096 matmul is weight-load-bound, so int8 weights ≈ halve its HBM
+    stream), and returns ``(variables, QuantizedTableAdapter)``. Opt-in via
+    ``quantize: "int8"`` exactly like the ResNet paths; the float path stays
+    the default and the parity-tested one.
+    """
+    import jax
+
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        QuantizedTableAdapter,
+    )
+
+    qtree = quantize_rna_encoder(variables, [probe["data"]])
+    variables = dict(variables)
+    variables["qtree"] = jax.device_put(qtree)
+    adapter = QuantizedTableAdapter(model=model,
+                                    loader_kwargs=adapter.loader_kwargs)
+    print("quantized RNA encoder to int8 (W8A8) for serving")
     return variables, adapter
 
 

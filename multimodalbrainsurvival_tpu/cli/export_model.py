@@ -28,6 +28,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     load_config,
     make_parser,
     quantize_mode,
+    quantize_rna_serving,
     quantize_serving,
     restore_maybe_folded,
 )
@@ -154,6 +155,10 @@ def _export_table(config, args, out_dir, kind: str):
         {k: jnp.asarray(probe[k]) for k in adapter.array_keys},
     )
     variables = Checkpointer().restore(config["model_path"], variables)
+    if kind == "rna" and quantize_mode(config):
+        # int8 encoder: calibrate on the probe batch (real expression data)
+        variables, _ = quantize_rna_serving(config, model, adapter,
+                                            variables, probe)
     return export_table_artifact(
         model,
         jax.tree.map(jnp.asarray, variables),
@@ -177,9 +182,11 @@ def main(argv=None):
     elif kind == "joint":
         meta = _export_joint(config, args, out_dir)
     elif kind in ("rna", "feature"):
-        if quantize_mode(config):
-            raise SystemExit(f"quantize=int8 applies to the ResNet serving "
-                             f"paths, not export_kind={kind!r}")
+        if kind == "feature" and quantize_mode(config):
+            raise SystemExit("quantize=int8 applies to the ResNet and RNA "
+                             "serving paths, not export_kind='feature' "
+                             "(the early-fusion MLP is ~18 MB — not "
+                             "weight-load-bound)")
         meta = _export_table(config, args, out_dir, kind)
     else:
         raise SystemExit(f"unknown export_kind: {kind!r} "

@@ -18,6 +18,8 @@ from multimodalbrainsurvival_tpu.cli._common import (
     extract_features_frames,
     load_config,
     make_parser,
+    quantize_mode,
+    quantize_rna_serving,
 )
 from multimodalbrainsurvival_tpu.cli.rna_train import build_rna_model
 from multimodalbrainsurvival_tpu.data import RNATableDataset
@@ -60,6 +62,9 @@ def main(argv=None):
         {k: jax.numpy.asarray(probe[k]) for k in adapter.array_keys},
     )
     variables = Checkpointer().restore(config["model_path"], variables)
+    if quantize_mode(config):  # "int8" → W8A8 encoder serving
+        variables, adapter = quantize_rna_serving(config, model, adapter,
+                                                  variables, probe)
 
     for split, ds in datasets.items():
         print(f"extracting features for dataset : {split}")

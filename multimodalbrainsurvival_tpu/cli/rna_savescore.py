@@ -14,6 +14,8 @@ import jax
 from multimodalbrainsurvival_tpu.cli._common import (
     load_config,
     make_parser,
+    quantize_mode,
+    quantize_rna_serving,
     savescore_name,
 )
 from multimodalbrainsurvival_tpu.cli.rna_train import build_rna_model
@@ -46,6 +48,9 @@ def main(argv=None):
     )
     ckpt = Checkpointer()
     variables = ckpt.restore(config["model_path"], variables)
+    if quantize_mode(config):  # "int8" → W8A8 encoder serving
+        variables, adapter = quantize_rna_serving(config, model, adapter,
+                                                  variables, probe)
 
     for split, ds in datasets.items():
         print(f"Evaluation for dataset : {split}")

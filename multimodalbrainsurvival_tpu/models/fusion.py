@@ -78,6 +78,19 @@ class BagHistopathologyRNAModel(nn.Module):
         fused = self.final_drop(fused, deterministic=not train)
         return self.final(fused)
 
+    def extract_from_all_feats(self, feats, rna_feats, mask=None):
+        """Fusion tail when BOTH encoders ran externally (the fully-int8
+        serving path: int8 ResNet per-patch feats + int8 RNA embedding,
+        ``models/quantize.py``): pool, concat — no encoder invocation."""
+        img = masked_bag_mean(feats, mask)
+        return jnp.concatenate([img, rna_feats], axis=1)
+
+    def from_all_feats(self, feats, rna_feats, mask=None,
+                       train: bool = False):
+        fused = self.extract_from_all_feats(feats, rna_feats, mask=mask)
+        fused = self.final_drop(fused, deterministic=not train)
+        return self.final(fused)
+
     def extract_from_trunk(self, fmap, rna, mask=None, train: bool = False,
                            from_stage: int = 3):
         """``extract`` continued from a (B, bag, h, w, c) mid-ResNet feature

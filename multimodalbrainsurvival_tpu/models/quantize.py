@@ -340,6 +340,90 @@ def quantize_trunk_for_training(variables: dict, patch_bags_u8, *,
     return quantize_resnet(folded, merge_amax(dicts), arch=arch)
 
 
+# --- dense-stack (MLP) W8A8 quantization -------------------------------------
+#
+# The serving audit of the RNA path (docs/DESIGN.md item 7) showed the
+# 12,778×4096 encoder matmul is WEIGHT-LOAD-bound: streaming the ~105 MB f32
+# (52 MB bf16) kernel dominates at serving batch sizes, so int8 weights alone
+# halve/quarter the HBM stream — the same lever int8 gave the ResNet.
+# Weights are symmetric int8 with per-OUTPUT-CHANNEL scales (like the conv
+# path); activations use DYNAMIC per-row scales computed in the epilogue
+# (unlike the conv path's calibrated static scales): an MLP activation is
+# one row per sample, so its abs-max is a single cheap VPU reduction, and
+# dynamic scales make the scheme calibration-free with zero clipping —
+# strictly tighter numerics for free on a weight-load-bound op. Matmuls run
+# int8×int8→int32 with the dequant(+relu)+requant fused into the epilogue,
+# so HBM sees int8 weights and int8 activations only. Covers any
+# "Dense → relu → … → Dense" stack (``RNAEncoder``,
+# ``2_GeneExpression/models.py:8-21``); the tiny Cox head stays float.
+
+
+def _quantize_dense(p: dict) -> dict:
+    k = np.asarray(p["kernel"], np.float32)  # flax Dense: (in, out)
+    ws = np.maximum(np.abs(k).max(axis=0), _EPS) / 127.0
+    kq = np.clip(np.rint(k / ws), -127, 127).astype(np.int8)
+    return {"k": kq, "ws": ws.astype(np.float32),
+            "b": np.asarray(p["bias"], np.float32)}
+
+
+def _requant_rows(y):
+    """Dynamic per-row symmetric int8: returns ``(y_q int8, s_row f32 (B,))``
+    with ``y ≈ y_q * s_row[:, None]``. No calibration, no clipping (the
+    scale IS the row's abs-max / 127)."""
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1), _EPS) / 127.0
+    y_q = jnp.clip(jnp.round(y / s[:, None]), -127, 127).astype(jnp.int8)
+    return y_q, s
+
+
+def quantize_mlp(layer_params: list) -> dict:
+    """Float Dense params → int8 serving qtree:
+    ``{"layers": [{k int8, ws f32[out], b f32}, ...]}`` (activation scales
+    are dynamic — nothing to calibrate)."""
+    return {"layers": [_quantize_dense(p) for p in layer_params]}
+
+
+def quantized_mlp(qtree: dict, x):
+    """(B, F) float input → (B, D) f32 output through the int8 stack.
+
+    Every inter-layer activation is an int8 tensor with a per-row dynamic
+    scale; quantize→matmul→dequant→relu→requantize fuses into the matmul
+    epilogues, so HBM sees int8 weights + int8 activations only. The last
+    layer dequantizes to f32 (it is the embedding consumers read)."""
+    x_q, s_row = _requant_rows(x.astype(jnp.float32))
+    y = x  # placate linters for the zero-layer degenerate case
+    for i, lp in enumerate(qtree["layers"]):
+        y32 = lax.dot_general(
+            x_q, lp["k"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y32.astype(jnp.float32) * (s_row[:, None] * lp["ws"][None, :])
+             + lp["b"])
+        if i + 1 < len(qtree["layers"]):
+            x_q, s_row = _requant_rows(jax.nn.relu(y))
+    return y.astype(jnp.float32)
+
+
+def quantize_rna_encoder(variables: dict, rna_batches=None, *,
+                         submodule: str = "encoder") -> dict:
+    """Quantize the RNA MLP encoder inside a live variable tree.
+
+    ``variables``: the restored ``RNAOnlyModel`` / joint-model tree (the
+    encoder's Dense params live under ``params.<submodule>.dense_{i}``).
+    ``rna_batches`` is accepted for call-site symmetry with
+    ``quantize_mil_resnet`` but unused — activation scales are dynamic.
+    Returns the qtree for ``quantized_mlp``; the Cox head / fusion tail
+    stays float (its weights are negligible)."""
+    del rna_batches
+    enc = variables["params"][submodule]
+    names = sorted((k for k in enc if k.startswith("dense_")),
+                   key=lambda s: int(s.split("_")[1]))
+    return quantize_mlp([
+        {"kernel": np.asarray(enc[n]["kernel"], np.float32),
+         "bias": np.asarray(enc[n]["bias"], np.float32)}
+        for n in names
+    ])
+
+
 def quantize_mil_resnet(variables: dict, patch_bags_u8, *,
                         arch: str = "resnet50",
                         submodule: str = "resnet") -> dict:

@@ -56,5 +56,11 @@ class RNAOnlyModel(nn.Module):
     def extract(self, rna, train: bool = False):
         return self.encoder(rna, train=train)
 
+    def from_embedding(self, emb):
+        """Cox head over an externally-computed 2048-d embedding — the tail
+        the int8 serving path (``models/quantize.quantized_mlp``) re-enters
+        after running the encoder stack in int8."""
+        return self.final(emb)
+
     def __call__(self, rna, train: bool = False):
         return self.final(self.extract(rna, train=train))

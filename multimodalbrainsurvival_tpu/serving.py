@@ -164,20 +164,37 @@ def _table_serving_fn(model, variables: dict):
     weights closed over. Covers the RNA MLP (``RNAOnlyModel`` — has an
     ``extract`` embedding path) and the early-fusion MLP (``EarlyFusionMLP``
     — scores only, like the reference's ``3_EarlyFusion_savescore.py``).
+    With ``variables["qtree"]`` the encoder stack runs int8 (W8A8,
+    ``models/quantize.quantized_mlp``) and the float Cox head re-enters via
+    ``from_embedding`` — mirroring ``QuantizedTableAdapter``.
     """
     import jax.numpy as jnp
 
+    qtree = variables.get("qtree")
+    fvars = {"params": variables["params"]}
     has_extract = callable(getattr(type(model), "extract", None))
 
     def fn(data):
+        if qtree is not None:
+            from multimodalbrainsurvival_tpu.models.quantize import (
+                quantized_mlp,
+            )
+
+            emb = quantized_mlp(qtree, data)
+            return {
+                "scores": model.apply(
+                    fvars, emb, method="from_embedding"
+                ).astype(jnp.float32),
+                "embedding": emb.astype(jnp.float32),
+            }
         out = {
-            "scores": model.apply(variables, data, train=False).astype(
+            "scores": model.apply(fvars, data, train=False).astype(
                 jnp.float32
             )
         }
         if has_extract:
             out["embedding"] = model.apply(
-                variables, data, train=False, method="extract"
+                fvars, data, train=False, method="extract"
             ).astype(jnp.float32)
         return out
 
@@ -204,14 +221,15 @@ def export_table_artifact(
     exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
         jax.ShapeDtypeStruct((b, in_features), jnp.float32)
     )
+    quantized = variables.get("qtree") is not None
     returns = "dict(scores (b, C) f32"
-    if callable(getattr(type(model), "extract", None)):
+    if quantized or callable(getattr(type(model), "extract", None)):
         returns += ", embedding (b, D) f32"
     returns += ")"
     return _write_artifact(out_dir, exported, {
         "kind": kind,
         "in_features": in_features,
-        "quantize": "",
+        "quantize": "int8" if quantized else "",
         "platforms": list(platforms),
         "calling_convention": {
             "args": [f"data float32 (b, {in_features})"],
@@ -230,6 +248,7 @@ def _joint_serving_fn(model, variables: dict, arch: str):
     from multimodalbrainsurvival_tpu.ops.image import preprocess_patches
 
     qtree = variables.get("qtree")
+    qtree_rna = variables.get("qtree_rna")
     tail_vars = {"params": variables["params"]}
     rn_vars = {"params": variables["params"]["resnet"]}
     if "batch_stats" in variables:
@@ -254,14 +273,31 @@ def _joint_serving_fn(model, variables: dict, arch: str):
             feats = model.resnet.apply(rn_vars, flat, train=False,
                                        method="extract")
         feats = feats.reshape(B, bag, -1)
-        emb = model.apply(
-            tail_vars, feats, rna_data, mask=bag_mask, train=False,
-            method="extract_from_feats",
-        )
-        scores = model.apply(
-            tail_vars, feats, rna_data, mask=bag_mask, train=False,
-            method="from_feats",
-        )
+        if qtree_rna is not None:
+            # fully-int8 encoders: RNA stack via quantized_mlp, fusion tail
+            # float via from_all_feats — mirrors QuantizedJointAdapter
+            from multimodalbrainsurvival_tpu.models.quantize import (
+                quantized_mlp,
+            )
+
+            rna_feats = quantized_mlp(qtree_rna, rna_data)
+            emb = model.apply(
+                tail_vars, feats, rna_feats, mask=bag_mask,
+                method="extract_from_all_feats",
+            )
+            scores = model.apply(
+                tail_vars, feats, rna_feats, mask=bag_mask,
+                method="from_all_feats",
+            )
+        else:
+            emb = model.apply(
+                tail_vars, feats, rna_data, mask=bag_mask, train=False,
+                method="extract_from_feats",
+            )
+            scores = model.apply(
+                tail_vars, feats, rna_data, mask=bag_mask, train=False,
+                method="from_feats",
+            )
         return {
             "embedding": emb.astype(jnp.float32),
             "scores": scores.astype(jnp.float32),

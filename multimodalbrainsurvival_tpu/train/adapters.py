@@ -70,6 +70,38 @@ class TableAdapter:
 
 
 @dataclass
+class QuantizedTableAdapter(TableAdapter):
+    """int8 (W8A8) serving variant of ``TableAdapter`` for the RNA MLP.
+
+    The encoder stack (12,778→4096→2048 — weight-load-bound at serving
+    batches, docs/DESIGN.md item 7) runs through
+    ``models/quantize.quantized_mlp`` (int8 weights + calibrated int8
+    activations); the tiny Cox head reuses the float model via
+    ``from_embedding``. Opt-in (``quantize: "int8"`` in the RNA serving
+    configs) and eval-only, like ``QuantizedMILAdapter``. ``variables``
+    carries the int8 tree alongside the float params
+    (``{"params": ..., "qtree": ...}``)."""
+
+    def _embedding(self, variables, arrays):
+        from multimodalbrainsurvival_tpu.models.quantize import quantized_mlp
+
+        return quantized_mlp(variables["qtree"], arrays[self.input_key])
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if train:
+            raise ValueError("the int8 serving adapter is eval-only")
+        out = self.model.apply(
+            {"params": variables["params"]},
+            self._embedding(variables, arrays),
+            method="from_embedding",
+        )
+        return out, None
+
+    def extract(self, variables, arrays):
+        return self._embedding(variables, arrays)
+
+
+@dataclass
 class _PatchAdapterBase:
     """Shared machinery for patch-bag adapters: on-device augmentation,
     train/eval rng routing, and mutable-BN application."""
@@ -347,10 +379,41 @@ class QuantTrunkJointAdapter(QuantTrunkMILAdapter):
 @dataclass
 class QuantizedJointAdapter(QuantizedMILAdapter):
     """int8 (W8A8) serving variant of the joint bimodal model: quantized
-    per-patch ResNet, float RNA encoder + fusion tail
-    (``BagHistopathologyRNAModel.{from_feats,extract_from_feats}``)."""
+    per-patch ResNet + quantized RNA encoder (when ``variables`` carries a
+    ``qtree_rna`` — ``models/quantize.quantize_rna_encoder``), float fusion
+    tail. Without ``qtree_rna`` the RNA encoder runs float via
+    ``BagHistopathologyRNAModel.{from_feats,extract_from_feats}``."""
 
     array_keys: tuple = ("patch_bag", "bag_mask", "sample_mask", "rna_data")
 
     def _model_inputs(self, x, arrays) -> tuple:
         return (x, arrays["rna_data"])
+
+    def _rna_feats(self, qtree_rna, arrays):
+        from multimodalbrainsurvival_tpu.models.quantize import quantized_mlp
+
+        return quantized_mlp(qtree_rna, arrays["rna_data"])
+
+    def apply(self, variables, arrays, *, train: bool, rng=None):
+        if "qtree_rna" not in variables:
+            return super().apply(variables, arrays, train=train, rng=rng)
+        if train:
+            raise ValueError("the int8 serving adapter is eval-only")
+        feats = self._patch_feats(variables["qtree"], arrays)
+        out = self.model.apply(
+            {"params": variables["params"]},
+            feats, self._rna_feats(variables["qtree_rna"], arrays),
+            mask=arrays["bag_mask"], method="from_all_feats",
+        )
+        return self._unwrap(out), None
+
+    def extract(self, variables, arrays):
+        if "qtree_rna" not in variables:
+            return super().extract(variables, arrays)
+        feats = self._patch_feats(variables["qtree"], arrays)
+        out = self.model.apply(
+            {"params": variables["params"]},
+            feats, self._rna_feats(variables["qtree_rna"], arrays),
+            mask=arrays["bag_mask"], method="extract_from_all_feats",
+        )
+        return self._unwrap(out)

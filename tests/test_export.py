@@ -365,3 +365,118 @@ def test_export_cli_float_and_int8(export_experiment):
         np.asarray(got_q["embedding"]), np.asarray(want_q),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_export_table_int8_roundtrip(tmp_path):
+    """table_serving with variables["qtree"]: the artifact serves the int8
+    encoder (models/quantize.quantized_mlp) + float head, matches the
+    QuantizedTableAdapter numerics exactly, and stays batch-polymorphic."""
+    from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+        quantized_mlp,
+    )
+    from multimodalbrainsurvival_tpu.serving import (
+        export_table_artifact,
+        load_artifact,
+    )
+
+    model = RNAOnlyModel(encoder=RNAEncoder(hidden_dims=(64, 32), dropout=0.0))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48)), train=False)
+    qv = {"params": v["params"], "qtree": quantize_rna_encoder(v)}
+    meta = export_table_artifact(model, qv, str(tmp_path / "rna8"),
+                                 in_features=48, kind="rna_serving")
+    assert meta["quantize"] == "int8"
+
+    art = load_artifact(str(tmp_path / "rna8"))
+    rng = np.random.default_rng(9)
+    for B in (3, 6):
+        x = jnp.asarray(rng.normal(size=(B, 48)).astype(np.float32))
+        got = art.call(x)
+        want_emb = quantized_mlp(qv["qtree"], x)
+        np.testing.assert_allclose(
+            np.asarray(got["embedding"]), np.asarray(want_emb),
+            rtol=1e-5, atol=1e-6,
+        )
+        want_scores = model.apply({"params": v["params"]}, want_emb,
+                                  method="from_embedding")
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want_scores),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_export_joint_int8_rna_roundtrip(tmp_path):
+    """joint_serving with BOTH qtrees: the artifact runs int8 ResNet + int8
+    RNA encoder + float fusion tail, matching QuantizedJointAdapter."""
+    from multimodalbrainsurvival_tpu.models import (
+        BagHistopathologyRNAModel,
+        RNAEncoder,
+        resnet18,
+    )
+    from multimodalbrainsurvival_tpu.models.folding import (
+        fold_resnet_variables,
+    )
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_mil_resnet,
+        quantize_rna_encoder,
+    )
+    from multimodalbrainsurvival_tpu.serving import (
+        export_joint_artifact,
+        load_artifact,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        QuantizedJointAdapter,
+    )
+
+    def build(fold):
+        return BagHistopathologyRNAModel(
+            resnet=resnet18(fold_bn=fold),
+            rna_encoder=RNAEncoder(hidden_dims=(16, 8), dropout=0.0),
+            head_dropout=0.0,
+        )
+
+    stock = build(False)
+    v = stock.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1, 32, 32, 3)),
+        jnp.zeros((1, 10)), train=False,
+    )
+    folded = fold_resnet_variables(v)
+    rng = np.random.default_rng(4)
+    cal_bag = rng.integers(0, 255, (2, 2, 32, 32, 3), dtype=np.uint8)
+    qv = dict(folded)
+    qv["qtree"] = quantize_mil_resnet(folded, [cal_bag], arch="resnet18")
+    qv["qtree_rna"] = quantize_rna_encoder(folded, submodule="rna_encoder")
+
+    model = build(True)
+    meta = export_joint_artifact(
+        model, qv, str(tmp_path / "joint8"), img_size=32,
+        rna_features=10, arch="resnet18",
+    )
+    assert meta["quantize"] == "int8"
+
+    art = load_artifact(str(tmp_path / "joint8"))
+    adapter = QuantizedJointAdapter(model=model, arch="resnet18")
+    for B, bag in ((2, 3), (3, 2)):
+        arrays = {
+            "patch_bag": jnp.asarray(
+                rng.integers(0, 255, (B, bag, 32, 32, 3), dtype=np.uint8)
+            ),
+            "bag_mask": jnp.asarray(np.ones((B, bag), np.float32)),
+            "sample_mask": jnp.ones((B,), bool),
+            "rna_data": jnp.asarray(
+                rng.normal(size=(B, 10)).astype(np.float32)
+            ),
+        }
+        got = art.call(arrays["patch_bag"], arrays["bag_mask"],
+                       arrays["rna_data"])
+        want_scores, _ = adapter.apply(qv, arrays, train=False)
+        want_emb = adapter.extract(qv, arrays)
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want_scores),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["embedding"]), np.asarray(want_emb),
+            rtol=1e-5, atol=1e-5,
+        )

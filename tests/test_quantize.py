@@ -368,3 +368,162 @@ def test_quantized_joint_adapter_matches_float():
         np.asarray(got_emb)[:, 512:], np.asarray(want_emb)[:, 512:]
     )
     assert _cosines(got_emb[:, :512], want_emb[:, :512]).min() > 0.995
+
+
+# --- RNA / dense-stack int8 ---------------------------------------------------
+
+
+def _rna_setup(rng_seed=11, in_dim=512, hidden=(128, 64), n=32):
+    """Random-init RNAOnlyModel + standardized expression-like data.
+
+    Dims are scaled-down but not TINY: per-sample cosine of an int8
+    approximation concentrates with embedding width (at 24-d a single
+    sample's cosine wanders to ~0.98 from rounding alone; at the real
+    2048-d it is far tighter), so the contract is tested at widths where
+    the production threshold is meaningful."""
+    from multimodalbrainsurvival_tpu.models.rna import RNAEncoder, RNAOnlyModel
+
+    model = RNAOnlyModel(encoder=RNAEncoder(hidden_dims=hidden, dropout=0.0))
+    rng = np.random.default_rng(rng_seed)
+    cal = rng.normal(size=(n, in_dim)).astype(np.float32)
+    held = rng.normal(size=(n, in_dim)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(cal),
+                           train=False)
+    return model, variables, cal, held
+
+
+def test_quantized_mlp_tracks_float():
+    """W8A8 Dense stack vs the float encoder: per-sample cosine > 0.995 on
+    the embedding, on calibration AND held-out data; the float head over the
+    int8 embedding stays close to the float scores."""
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+        quantized_mlp,
+    )
+
+    model, variables, cal, held = _rna_setup()
+    qtree = quantize_rna_encoder(variables, [cal])
+    for x in (cal, held):
+        want = np.asarray(
+            model.apply(variables, jnp.asarray(x), train=False,
+                        method="extract")
+        )
+        got = np.asarray(quantized_mlp(qtree, jnp.asarray(x)))
+        assert got.shape == want.shape
+        assert _cosines(got, want).min() > 0.995
+    # scores: float head over int8 embedding vs full float forward
+    want_s = np.asarray(model.apply(variables, jnp.asarray(held),
+                                    train=False))
+    got_s = np.asarray(model.apply(
+        {"params": variables["params"]},
+        quantized_mlp(qtree, jnp.asarray(held)), method="from_embedding",
+    ))
+    scale = max(1e-3, float(np.abs(want_s).max()))
+    assert np.abs(got_s - want_s).max() / scale < 0.05
+
+
+def test_quantized_mlp_weight_tree_is_int8():
+    """The serving qtree actually stores int8 kernels (the bandwidth claim)
+    with per-output-channel scales, one entry per encoder Dense layer."""
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+    )
+
+    model, variables, cal, _ = _rna_setup()
+    qtree = quantize_rna_encoder(variables, [cal])
+    assert len(qtree["layers"]) == 2
+    assert set(qtree) == {"layers"}  # activation scales are dynamic
+    for lp, out_dim in zip(qtree["layers"], (128, 64)):
+        assert lp["k"].dtype == np.int8
+        assert lp["ws"].shape == (out_dim,)
+        assert np.abs(lp["k"]).max() <= 127
+
+
+def test_quantized_table_adapter_matches_float():
+    """QuantizedTableAdapter vs TableAdapter on the same restored tree:
+    eval-only, embedding cosine > 0.995, scores close; refuses train."""
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+    )
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        QuantizedTableAdapter,
+        TableAdapter,
+    )
+
+    model, variables, cal, held = _rna_setup()
+    float_adapter = TableAdapter(model=model)
+    arrays = {"data": jnp.asarray(held), "mask": jnp.ones((len(held),), bool)}
+    want, _ = float_adapter.apply(variables, arrays, train=False)
+    want_emb = float_adapter.extract(variables, arrays)
+
+    qv = {"params": variables["params"],
+          "qtree": jax.device_put(quantize_rna_encoder(variables, [cal]))}
+    qadapter = QuantizedTableAdapter(model=model)
+    got, stats = qadapter.apply(qv, arrays, train=False)
+    assert stats is None
+    got_emb = qadapter.extract(qv, arrays)
+    assert _cosines(np.asarray(got_emb), np.asarray(want_emb)).min() > 0.995
+    scale = max(1e-3, float(np.abs(np.asarray(want)).max()))
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() / scale < 0.05
+    with pytest.raises(ValueError):
+        qadapter.apply(qv, arrays, train=True)
+
+
+def test_quantized_joint_adapter_int8_rna():
+    """QuantizedJointAdapter with BOTH qtrees: the RNA half of the bimodal
+    embedding now comes from the int8 encoder (cosine-close, not equal),
+    and scores still track the float adapter."""
+    from multimodalbrainsurvival_tpu.models.fusion import (
+        BagHistopathologyRNAModel,
+    )
+    from multimodalbrainsurvival_tpu.models.quantize import (
+        quantize_rna_encoder,
+    )
+    from multimodalbrainsurvival_tpu.models.rna import RNAEncoder
+    from multimodalbrainsurvival_tpu.train.adapters import (
+        JointAdapter,
+        QuantizedJointAdapter,
+    )
+
+    def build(fold_bn):
+        return BagHistopathologyRNAModel(
+            resnet=RESNET_CONSTRUCTORS["resnet18"](fold_bn=fold_bn),
+            rna_encoder=RNAEncoder(hidden_dims=(32, 16), dropout=0.0),
+        )
+
+    rng = np.random.default_rng(7)
+    arrays = {
+        "patch_bag": jnp.asarray(
+            rng.integers(0, 256, size=(2, 3, 32, 32, 3), dtype=np.uint8)
+        ),
+        "bag_mask": jnp.ones((2, 3), np.float32),
+        "sample_mask": jnp.ones((2,), bool),
+        "rna_data": jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32)),
+    }
+    stock = JointAdapter(model=build(False))
+    v = stock.init(jax.random.PRNGKey(0), arrays)
+    folded = fold_resnet_variables(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}
+    )
+    float_adapter = JointAdapter(model=build(True))
+    want, _ = float_adapter.apply(folded, arrays, train=False)
+    want_emb = float_adapter.extract(folded, arrays)
+
+    qv = dict(folded)
+    qv["qtree"] = jax.device_put(quantize_mil_resnet(
+        folded, [np.asarray(arrays["patch_bag"])], arch="resnet18"
+    ))
+    qv["qtree_rna"] = jax.device_put(quantize_rna_encoder(
+        folded, [np.asarray(arrays["rna_data"])], submodule="rna_encoder"
+    ))
+    qadapter = QuantizedJointAdapter(model=build(True), arch="resnet18")
+    got, stats = qadapter.apply(qv, arrays, train=False)
+    assert stats is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.06)
+    got_emb = qadapter.extract(qv, arrays)
+    assert got_emb.shape == want_emb.shape == (2, 512 + 16)
+    # both halves are now int8 approximations — cosine-close, NOT equal
+    assert _cosines(got_emb[:, :512], want_emb[:, :512]).min() > 0.995
+    assert _cosines(got_emb[:, 512:], want_emb[:, 512:]).min() > 0.995
+    assert not np.array_equal(np.asarray(got_emb)[:, 512:],
+                              np.asarray(want_emb)[:, 512:])

@@ -142,7 +142,14 @@ def fit_coxnet(
 
     n_folds = min(n_folds, max(2, n // 3))
     rng = np.random.default_rng(seed)
-    fold = rng.permutation(n) % n_folds
+    # event-stratified fold assignment: permute events and censored rows
+    # separately so small cohorts don't land all their events in one fold
+    # (a fold with no events has no Cox partial likelihood — such folds are
+    # skipped below, and unstratified assignment can degenerate them all)
+    fold = np.empty(n, np.int64)
+    for m in (events > 0, events <= 0):
+        idx = np.flatnonzero(m)
+        fold[idx[rng.permutation(len(idx))]] = np.arange(len(idx)) % n_folds
     cv_dev = np.zeros((n_folds, len(lambdas)))
     for f in range(n_folds):
         tr = fold != f
@@ -157,8 +164,24 @@ def fit_coxnet(
                 _npll(jnp.asarray(b), jnp.asarray(Xs[te]),
                       jnp.asarray(times[te]), jnp.asarray(events[te]))
             )
-    cv_mean = np.nanmean(cv_dev, axis=0)
-    best = int(np.nanargmin(cv_mean))
+    with np.errstate(invalid="ignore"):
+        cv_mean = np.nanmean(cv_dev, axis=0)
+    if np.all(np.isnan(cv_mean)):
+        # every fold was event-degenerate (tiny or near-fully-censored
+        # cohort): CV cannot choose a lambda. Fall back to the most
+        # regularized end of the path (beta ~ 0) instead of crashing —
+        # cv.glmnet errors here; a conservative finite answer serves the
+        # late-fusion pipeline better than a traceback.
+        import warnings
+
+        warnings.warn(
+            "coxnet CV degenerate: no fold had events on both sides; "
+            "falling back to the largest lambda (maximal shrinkage)",
+            stacklevel=2,
+        )
+        best = 0
+    else:
+        best = int(np.nanargmin(cv_mean))
 
     betas_std = _solve_path(Xs, times, events, lambdas, alpha, max_iter)
     betas_orig = betas_std / sd  # back to original scale

@@ -57,6 +57,10 @@ def main(argv=None):
                    default="dispatch")
     p.add_argument("--remat", action="store_true",
                    help="per-block activation checkpointing (remat: true)")
+    p.add_argument("--freeze_bn", action="store_true",
+                   help="FrozenBatchNorm fine-tuning (freeze_bn: true) — "
+                        "running-stat normalization in train mode, no stat "
+                        "updates (docs/DESIGN.md item 26)")
     p.add_argument("--memory", action="store_true",
                    help="AOT-compile the step and print memory_analysis "
                         "instead of executing (works even for OOM shapes)")
@@ -78,7 +82,8 @@ def main(argv=None):
     )
 
     model = AggregationModel(
-        resnet=resnet50(dtype=jnp.bfloat16, remat_blocks=a.remat),
+        resnet=resnet50(dtype=jnp.bfloat16, remat_blocks=a.remat,
+                        freeze_bn=a.freeze_bn),
         aggregator=make_aggregator("attention", dim=2048, dtype=jnp.bfloat16),
         aggregator_dim=2048,
     )
@@ -120,9 +125,10 @@ def main(argv=None):
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": k2},
             )
-            return cox_partial_likelihood_loss(out[:, 0], t, e), upd[
-                "batch_stats"
-            ]
+            # freeze_bn mutates nothing — fall back to the input stats
+            return cox_partial_likelihood_loss(out[:, 0], t, e), upd.get(
+                "batch_stats", batch_stats
+            )
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True

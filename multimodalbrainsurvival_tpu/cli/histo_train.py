@@ -46,6 +46,10 @@ def build_mil_model(config, fold_bn: bool = False) -> AggregationModel:
         # remat: true (TPU-native extension) — per-block activation
         # checkpointing so full-slide bags fine-tune deep stacks in HBM
         remat_blocks=bool(config.get("remat", False)),
+        # freeze_bn: true (TPU-native extension) — FrozenBatchNorm
+        # fine-tuning: running-stat normalization in train mode, ~1.2x
+        # full-fine-tune step speedup (docs/DESIGN.md item 26)
+        freeze_bn=bool(config.get("freeze_bn", False)),
     )
     aggregator = make_aggregator(
         config.aggregator,

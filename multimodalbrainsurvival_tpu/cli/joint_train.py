@@ -46,6 +46,10 @@ def build_joint_model(config, fold_bn: bool = False) -> BagHistopathologyRNAMode
     resnet = RESNET_CONSTRUCTORS[config.model_name](
         dtype=dtype, fold_bn=fold_bn,
         remat_blocks=bool(config.get("remat", False)),
+        # freeze_bn: true (TPU-native extension) — FrozenBatchNorm
+        # fine-tuning: running-stat normalization in train mode, ~1.2x
+        # full-fine-tune step speedup (docs/DESIGN.md item 26)
+        freeze_bn=bool(config.get("freeze_bn", False)),
     )
     # `dropout` (TPU-native extension) overrides BOTH hardcoded reference
     # rates — the RNA encoder's 0.5 and the fusion head's 0.8

@@ -115,7 +115,8 @@ class TorchBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
-def _make_norm(fold_bn: bool, train: bool, dtype: Any = jnp.float32):
+def _make_norm(fold_bn: bool, train: bool, dtype: Any = jnp.float32,
+               freeze_bn: bool = False):
     """BN factory; with fold_bn the affine lives inside the conv bias
     (``models/folding.py``) and the norm is the identity.
 
@@ -125,12 +126,20 @@ def _make_norm(fold_bn: bool, train: bool, dtype: Any = jnp.float32):
     bf16 model doubled the bytes written+read at every BN/ReLU/residual
     boundary of the training path (the convs immediately cast back to bf16),
     which trace attribution showed dominating the full-backward step
-    (docs/DESIGN.md training-attribution item)."""
+    (docs/DESIGN.md training-attribution item).
+
+    ``freeze_bn`` normalizes with the RUNNING statistics even in train mode
+    (gamma/beta still train, stats never update) — the FrozenBatchNorm
+    fine-tuning convention. Train-mode batch statistics cost 16-19% of the
+    full-fine-tune step (docs/DESIGN.md item 26: the stat reductions plus
+    BN backward's two extra reductions ≈ one extra pass over every
+    activation), so this opt-in trades the reference's BN semantics for a
+    measured ~1.2× step speedup."""
     if fold_bn:
         return lambda name=None: _Identity(name=name)
     return partial(
         TorchBatchNorm,
-        use_running_average=not train,
+        use_running_average=(not train) or freeze_bn,
         momentum=0.9,
         epsilon=1e-5,
         dtype=dtype,
@@ -207,11 +216,12 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    freeze_bn: bool = False
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _make_norm(self.fold_bn, train, self.dtype)
+        norm = _make_norm(self.fold_bn, train, self.dtype, self.freeze_bn)
         conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
@@ -236,11 +246,12 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    freeze_bn: bool = False
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = _make_norm(self.fold_bn, train, self.dtype)
+        norm = _make_norm(self.fold_bn, train, self.dtype, self.freeze_bn)
         conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
@@ -288,6 +299,15 @@ class ResNet(nn.Module):
     # stacks within one chip's HBM. Param tree and numerics are unchanged
     # (tests/test_models.py pins grads + batch_stats equality).
     remat_blocks: bool = False
+    # freeze_bn=True: FrozenBatchNorm fine-tuning (opt-in, TPU-native
+    # extension): BN normalizes with the restored RUNNING stats even during
+    # training; gamma/beta still receive gradients, the stats never update.
+    # Removes the batch-statistic reductions and BN-backward's two extra
+    # reductions from the train step (~1.2x full-fine-tune speedup,
+    # docs/DESIGN.md item 26). Deviates from the reference's train-mode-BN
+    # semantics (2_HistoPath_train.py:547-551), so it is opt-in like
+    # quantize_trunk.
+    freeze_bn: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -323,6 +343,7 @@ class ResNet(nn.Module):
                         strides=strides,
                         dtype=self.dtype,
                         fold_bn=self.fold_bn,
+                        freeze_bn=self.freeze_bn,
                     )
                 )
             setattr(self, f"layer{i + 1}", blocks)
@@ -345,7 +366,7 @@ class ResNet(nn.Module):
             )
         x = x.astype(self.dtype)
         y = self.conv1(x)
-        y = self.bn1(y, use_running_average=not train)
+        y = self.bn1(y, use_running_average=(not train) or self.freeze_bn)
         y = nn.relu(y)
         y = nn.max_pool(
             y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))

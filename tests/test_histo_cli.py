@@ -339,3 +339,52 @@ def test_cache_budget_config_key(histo_experiment):
                 cache_max_bytes_per_device=1 << 30)
     ds = build_datasets(Config(cfg3), quick=False)
     assert isinstance(ds["train"], DeviceCachedPatchBags)
+
+
+def test_histo_train_freeze_bn(histo_experiment):
+    """`freeze_bn: true` config key: the histo CLI trains end-to-end with
+    FrozenBatchNorm (running-stat normalization in train mode) and the
+    checkpointed batch_stats are EXACTLY the initial ones (no updates)."""
+    import jax
+    import numpy as np
+
+    from multimodalbrainsurvival_tpu.cli import histo_train
+    from multimodalbrainsurvival_tpu.cli.histo_train import build_mil_model
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+    from multimodalbrainsurvival_tpu.train.checkpoint import Checkpointer
+
+    tmp_path, cfg, _ = histo_experiment
+    cfg2 = dict(cfg, freeze_bn=True, num_epochs=1, flag="fbn")
+    p = tmp_path / "config_fbn.json"
+    p.write_text(json.dumps(cfg2))
+    histo_train.main(["--config", str(p), "--quick", "1"])
+
+    saved_dir = tmp_path / "out/models/fbn/model_last"
+    assert saved_dir.is_dir()
+    # restore and compare batch_stats to a fresh init: untouched by training
+    model = build_mil_model(Config(cfg2))
+    adapter = MILAdapter(model=model)
+    arrays = {
+        "patch_bag": np.zeros((1, 2, 32, 32, 3), np.uint8),
+        "bag_mask": np.ones((1, 2), np.float32),
+        "sample_mask": np.ones((1,), bool),
+    }
+    init_v = adapter.init(jax.random.PRNGKey(0),
+                          jax.tree.map(jax.numpy.asarray, arrays))
+    restored = Checkpointer().restore(str(saved_dir), init_v)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(init_v["batch_stats"]),
+        jax.tree_util.tree_leaves_with_path(restored["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"stats changed: {jax.tree_util.keystr(pa)}",
+        )
+    # params DID train
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(init_v["params"]),
+                        jax.tree.leaves(restored["params"]))
+    )
+    assert changed

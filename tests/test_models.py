@@ -392,3 +392,52 @@ def test_preprocess_runs_in_model_compute_dtype():
             == jnp.float32)
     assert (QuantTrunkMILAdapter(model=mk(jnp.bfloat16))._preprocess_dtype()
             == jnp.float32)
+
+
+def test_freeze_bn_semantics():
+    """`freeze_bn: true` (FrozenBatchNorm fine-tuning, opt-in — DESIGN item
+    26): in train mode BN normalizes with the RUNNING stats (train forward
+    == eval forward), the stats never update, gamma/beta still receive
+    gradients, and the result differs from train-mode batch-stat BN."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.models import resnet18
+
+    m = resnet18(freeze_bn=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    # perturb running stats away from init so "uses running stats" is visible
+    v = {"params": v["params"],
+         "batch_stats": jax.tree.map(lambda a: a + 0.1, v["batch_stats"])}
+
+    def loss(p, bs):
+        out, upd = m.apply({"params": p, "batch_stats": bs}, x, train=True,
+                           mutable=["batch_stats"], method="extract")
+        return out.sum(), upd["batch_stats"]
+
+    (_, new_stats), grads = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], v["batch_stats"]
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(v["batch_stats"]),
+        jax.tree_util.tree_leaves_with_path(new_stats),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"stats updated: {jax.tree_util.keystr(pa)}",
+        )
+    assert float(np.abs(np.asarray(grads["bn1"]["scale"])).sum()) > 0
+    assert float(np.abs(np.asarray(grads["bn1"]["bias"])).sum()) > 0
+
+    # train forward IS the eval forward under freeze_bn ...
+    out_train, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                           method="extract")
+    out_eval = m.apply(v, x, train=False, method="extract")
+    np.testing.assert_array_equal(np.asarray(out_train), np.asarray(out_eval))
+    # ... and differs from the reference's train-mode batch-stat BN
+    out_ref, _ = resnet18().apply(v, x, train=True, mutable=["batch_stats"],
+                                  method="extract")
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_ref))

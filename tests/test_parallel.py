@@ -215,3 +215,28 @@ def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):
     # no efficiency assertion here: 8 virtual devices share ONE physical core,
     # so weak scaling is structurally ~1/n on this box; the harness itself
     # asserts >= 0.9 only when pointed at real multi-chip hardware
+
+
+def test_train_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):
+    """benchmarks/train_weak_scaling.py (VERDICT r3 #8 — the training-side
+    twin of the serving harness) must keep working in its virtual-device
+    validation mode: the dp-sharded FULL train step (augmentation, bf16
+    fwd+bwd with mutable BN stats, batch-global Cox risk set, torch Adam)
+    compiles and executes at dp=1 and dp=8, emitting one JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/train_weak_scaling.py", "--platform",
+         "cpu", "--devices", "8", "--per-chip-batch", "2", "--iters", "1",
+         "--img", "32", "--model", "resnet18"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "train_step_weak_scaling"
+    assert out["devices"] == 8 and out["platform"] == "cpu"
+    assert out["rate_dp1"] > 0 and out["rate_dpn"] > 0
+    # same caveat as above: efficiency is meaningless on one physical core

@@ -244,10 +244,10 @@ def quantize_serving(config: Config, model, adapter, variables, probe):
 def quantize_rna_serving(config: Config, model, adapter, variables, probe):
     """Swap the float RNA serving path for the int8 (W8A8) one.
 
-    Calibrates the encoder's activation ranges on the probe batch, quantizes
-    the Dense stack (``models/quantize.quantize_rna_encoder`` — the
-    12,778×4096 matmul is weight-load-bound, so int8 weights ≈ halve its HBM
-    stream), and returns ``(variables, QuantizedTableAdapter)``. Opt-in via
+    Quantizes the Dense stack (``models/quantize.quantize_rna_encoder`` —
+    the 12,778×4096 matmul is weight-load-bound, so int8 weights ≈ halve its
+    HBM stream; activation scales are DYNAMIC per-row, so there is nothing
+    to calibrate) and returns ``(variables, QuantizedTableAdapter)``. Opt-in via
     ``quantize: "int8"`` exactly like the ResNet paths; the float path stays
     the default and the parity-tested one.
     """

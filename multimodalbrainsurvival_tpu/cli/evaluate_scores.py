@@ -16,6 +16,11 @@ vital_status``; ``3_HistoPath_savescore.py:110-117`` schema):
   (``--cohort <csv> --covariates age,gender``; merged ``id`` → ``case``,
   categorical columns dummy-coded). Hazard ratios per score SD, Wald
   tests, likelihood-ratio test (``ops/survival.cox_ph``).
+- Time-dependent accuracy: IPCW **Brier score / IBS** (calibration; the
+  score becomes S(t|x) through a one-covariate Cox model, fitted on the
+  train frame when ``--train_scores`` is given) and **cumulative/dynamic
+  AUC(t)** (discrimination at each horizon), default horizons at the
+  event-time percentiles, override with ``--eval_times 12,24,60``.
 
 Outputs per input frame ``<name>.csv`` under ``--output_dir``:
 
@@ -41,7 +46,11 @@ import pandas as pd
 
 from multimodalbrainsurvival_tpu.ops.survival import (
     bootstrap_concordance,
+    brier_score,
     cox_ph,
+    cumulative_dynamic_auc,
+    default_eval_times,
+    integrated_brier_score,
     kaplan_meier,
     logrank_test,
     risk_groups,
@@ -184,6 +193,56 @@ def cox_models(df: pd.DataFrame, covariate_cols: list) -> tuple[dict, pd.DataFra
     return out, pd.DataFrame(rows)
 
 
+def time_dependent_report(df: pd.DataFrame, train_df: pd.DataFrame | None,
+                          eval_times: np.ndarray | None) -> dict:
+    """IPCW Brier/IBS + cumulative/dynamic AUC(t) for one score frame.
+
+    The scalar risk score becomes a survival function through a
+    one-covariate Cox model (S(t|score) = exp(-H0(t) e^{beta*score}),
+    Breslow baseline): fitted on the TRAIN frame when given (the proper
+    protocol — calibration measured out-of-sample), else self-calibrated
+    on the evaluated frame (recorded as such). The censoring distribution
+    G is always estimated on the evaluated frame. AUC(t) uses the raw
+    scores directly (discrimination needs no calibration).
+    """
+    months = df["survival_months"].to_numpy(np.float64)
+    events = df["vital_status"].to_numpy().astype(bool)
+    score = df["score"].to_numpy(np.float64)
+
+    fit_df = train_df if train_df is not None else df
+    try:
+        fit = cox_ph(
+            fit_df["survival_months"].to_numpy(np.float64),
+            fit_df["vital_status"].to_numpy().astype(bool),
+            fit_df["score"].to_numpy(np.float64)[:, None],
+            names=["score"],
+        )
+    except (ValueError, np.linalg.LinAlgError) as err:
+        return {"error": f"calibration Cox fit failed: {err}"}
+
+    taus = (np.asarray(eval_times, np.float64) if eval_times is not None
+            else default_eval_times(months, events))
+    if taus.size == 0:
+        return {"error": "no valid evaluation times (degenerate cohort)"}
+    try:
+        surv = fit.predict_survival(score[:, None], taus)
+        auc, mean_auc = cumulative_dynamic_auc(months, events, score, taus)
+        out = {
+            "eval_times": [float(x) for x in taus],
+            "auc": [float(x) if np.isfinite(x) else None for x in auc],
+            "mean_auc": float(mean_auc) if np.isfinite(mean_auc) else None,
+            "brier": [float(x) for x in
+                      brier_score(months, events, surv, taus)],
+            "calibration": ("train_cox" if train_df is not None
+                            else "self_cox"),
+        }
+        if taus.size >= 2:
+            out["ibs"] = integrated_brier_score(months, events, surv, taus)
+        return out
+    except ValueError as err:
+        return {"error": str(err)}
+
+
 def plot_km(curves: dict, report: dict, out_png: str, title: str) -> None:
     """KM step plot: 2 series (validated palette order), Greenwood bands,
     censor ticks, direct labels + legend, recessive grid, single axis."""
@@ -263,6 +322,10 @@ def main(argv=None):
     p.add_argument("--covariates", default="",
                    help="comma-separated cohort columns for the adjusted "
                         "Cox model (e.g. age,gender)")
+    p.add_argument("--eval_times", default="",
+                   help="comma-separated horizons (months) for the "
+                        "time-dependent Brier/AUC metrics; default = "
+                        "percentiles 10..90 of the frame's event times")
     a = p.parse_args(argv)
 
     covariate_cols = [c for c in a.covariates.split(",") if c]
@@ -285,9 +348,13 @@ def main(argv=None):
             cohort_df = cohort_df.drop_duplicates("case", keep="first")
 
     cutoff = None
+    train_df = None
     if a.train_scores:
         train_df = _load_frame(a.train_scores)
         cutoff = float(np.median(train_df["score"].to_numpy(np.float64)))
+    eval_times = (np.array(sorted(float(x) for x in a.eval_times.split(",")
+                                  if x))
+                  if a.eval_times else None)
 
     os.makedirs(a.output_dir, exist_ok=True)
     for path in a.scores:
@@ -310,6 +377,8 @@ def main(argv=None):
                       f"cases?) — Cox SEs would be understated")
         cox_report, cox_table = cox_models(cox_df, covariate_cols)
         report.update(cox_report)
+        report["time_dependent"] = time_dependent_report(df, train_df,
+                                                         eval_times)
         if len(cox_table):
             cox_path = os.path.join(a.output_dir, f"cox_{name}.csv")
             cox_table.to_csv(cox_path, index=False)
@@ -328,6 +397,15 @@ def main(argv=None):
             print(f"{name}: Cox HR per score SD {r['hr']:.3f} "
                   f"[{r['hr_ci_lower']:.3f}, {r['hr_ci_upper']:.3f}], "
                   f"p={r['p']:.3g}")
+        td = report["time_dependent"]
+        if "error" not in td:
+            mean_auc = td["mean_auc"]
+            ibs = td.get("ibs")
+            print(f"{name}: mean AUC(t) "
+                  + (f"{mean_auc:.3f}" if mean_auc is not None else "n/a")
+                  + (f", IBS {ibs:.4f}" if ibs is not None else "")
+                  + f" over {len(td['eval_times'])} horizons "
+                    f"({td['calibration']})")
         adj = report.get("cox_adjusted", {})
         for r in adj.get("covariates", []):
             print(f"{name}: adjusted Cox {r['covariate']}: HR {r['hr']:.3f} "

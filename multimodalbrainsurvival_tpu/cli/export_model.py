@@ -156,7 +156,7 @@ def _export_table(config, args, out_dir, kind: str):
     )
     variables = Checkpointer().restore(config["model_path"], variables)
     if kind == "rna" and quantize_mode(config):
-        # int8 encoder: calibrate on the probe batch (real expression data)
+        # int8 encoder (dynamic per-row activation scales — calibration-free)
         variables, _ = quantize_rna_serving(config, model, adapter,
                                             variables, probe)
     return export_table_artifact(

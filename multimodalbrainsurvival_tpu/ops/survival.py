@@ -24,6 +24,13 @@ Definitions implemented:
 - **Median survival time** per group (first time S(t) drops to <= 0.5).
 - **Bootstrap confidence interval for the C-index**: case-level resampling
   with replacement, percentile interval, deterministic under a seed.
+- **IPCW Brier score / integrated Brier score** (Graf et al. 1999) and
+  **cumulative/dynamic time-dependent AUC** (Uno et al. 2007): censoring
+  reweighted by the censoring Kaplan-Meier G (deaths-before-censorings tie
+  convention, weights 1/G(T-)); both reduce exactly to their uncensored
+  forms (MSE against 1{T > t}; ``sklearn.metrics.roc_auc_score``) when no
+  one is censored — the tests pin those reductions plus a loop-written
+  independent oracle on censored data.
 - **Multivariable Cox proportional-hazards regression** (Newton-Raphson on
   the partial likelihood, Breslow or Efron ties) with Wald standard errors,
   hazard ratios + confidence intervals, likelihood-ratio and score tests,
@@ -81,6 +88,16 @@ class KaplanMeier:
         """S evaluated at arbitrary times (right-continuous step lookup)."""
         at = np.asarray(at, dtype=np.float64)
         idx = np.searchsorted(self.time, at, side="right") - 1
+        s = np.concatenate([[1.0], self.survival])
+        return s[idx + 1]
+
+    def left_limit(self, at: np.ndarray) -> np.ndarray:
+        """S(t-): the value just *before* each time (left-continuous lookup).
+
+        Used for IPCW weights 1/G(T-) so a subject's own drop at T does not
+        enter its weight (the deaths-before-censorings tie convention)."""
+        at = np.asarray(at, dtype=np.float64)
+        idx = np.searchsorted(self.time, at, side="left") - 1
         s = np.concatenate([[1.0], self.survival])
         return s[idx + 1]
 
@@ -263,6 +280,171 @@ def bootstrap_concordance(
 
 
 # ---------------------------------------------------------------------------
+# Time-dependent prediction accuracy (inverse-probability-of-censoring
+# weighted): Brier score / integrated Brier score (Graf et al. 1999) and
+# cumulative/dynamic AUC(t) (Uno et al. 2007). The reference evaluates only
+# the C-index point estimate (``2_HistoPath_train.py:184-209``); these are
+# the calibration- and time-resolved-discrimination halves of the standard
+# survival-model report, computed over the same savescore frames.
+# ---------------------------------------------------------------------------
+
+
+def _censoring_km(times, events) -> KaplanMeier:
+    """Kaplan-Meier estimate G of the CENSORING distribution (labels
+    flipped: a censoring is the 'event'). The at-risk rule ``t >= et``
+    keeps subjects with an event at t in the risk set for a censoring at
+    the same t — the deaths-before-censorings tie convention IPCW needs."""
+    t, e = _as_arrays(times, events)
+    return kaplan_meier(t, ~e)
+
+
+def _check_eval_times(eval_times, t, G: KaplanMeier) -> np.ndarray:
+    taus = np.asarray(eval_times, dtype=np.float64).reshape(-1)
+    if taus.size == 0:
+        raise ValueError("eval_times is empty")
+    if np.any(~np.isfinite(taus)) or np.any(taus < 0):
+        raise ValueError("eval_times must be finite and non-negative")
+    if np.any(np.diff(taus) <= 0):
+        raise ValueError("eval_times must be strictly increasing")
+    if taus[-1] >= t.max():
+        raise ValueError(
+            f"eval time {taus[-1]:g} is beyond follow-up (max observed "
+            f"time {t.max():g}): no at-risk subjects remain"
+        )
+    if np.any(G.step_function(taus) <= 0.0):
+        raise ValueError(
+            "censoring survival G(t) reaches 0 before the last eval time; "
+            "IPCW weights are undefined there"
+        )
+    return taus
+
+
+def brier_score(times, events, surv_probs, eval_times,
+                censor_times=None, censor_events=None) -> np.ndarray:
+    """IPCW Brier score BS(t) at each eval time (Graf et al. 1999).
+
+    ``surv_probs[i, j]`` is the model's predicted S(eval_times[j] | x_i).
+    At horizon t, a subject with an observed event by t contributes
+    S_hat(t)^2 / G(T_i-), a subject still at risk contributes
+    (1 - S_hat(t))^2 / G(t), and a subject censored by t contributes 0 —
+    the censoring Kaplan-Meier G reweights the observable outcomes so the
+    expectation recovers the uncensored Brier score. With no censoring this
+    reduces exactly to mean((1{T_i > t} - S_hat)^2) (pinned in
+    tests/test_survival.py). ``censor_times``/``censor_events`` optionally
+    estimate G from a different cohort (e.g. the training split); default
+    is the evaluated data itself.
+    """
+    t, e = _as_arrays(times, events)
+    S = np.asarray(surv_probs, dtype=np.float64)
+    if S.ndim == 1:
+        S = S[:, None]
+    G = _censoring_km(censor_times if censor_times is not None else t,
+                      censor_events if censor_events is not None else e)
+    taus = _check_eval_times(eval_times, t, G)
+    if S.shape != (t.size, taus.size):
+        raise ValueError(
+            f"surv_probs {S.shape} != (n={t.size}, k={taus.size})"
+        )
+    if np.any(S < -1e-9) or np.any(S > 1.0 + 1e-9):
+        raise ValueError("surv_probs must be probabilities in [0, 1]")
+
+    g_event = G.left_limit(t)          # G(T_i-), per subject
+    g_at = G.step_function(taus)       # G(t), per eval time
+    had_event = (t[:, None] <= taus[None, :]) & e[:, None]
+    at_risk = t[:, None] > taus[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = np.where(
+            had_event, S**2 / g_event[:, None],
+            np.where(at_risk, (1.0 - S) ** 2 / g_at[None, :], 0.0),
+        )
+    if not np.all(np.isfinite(contrib)):
+        raise ValueError("IPCW weight degenerate: G(T-) = 0 for an event")
+    return contrib.mean(axis=0)
+
+
+def integrated_brier_score(times, events, surv_probs, eval_times,
+                           censor_times=None, censor_events=None) -> float:
+    """IBS: the trapezoidal mean of BS(t) over [eval_times[0], eval_times[-1]],
+    normalized by the span (Graf et al. 1999 eq. 19). Needs >= 2 times."""
+    taus = np.asarray(eval_times, dtype=np.float64).reshape(-1)
+    if taus.size < 2:
+        raise ValueError("integrated_brier_score needs >= 2 eval times")
+    bs = brier_score(times, events, surv_probs, taus,
+                     censor_times=censor_times, censor_events=censor_events)
+    return float(np.trapezoid(bs, taus) / (taus[-1] - taus[0]))
+
+
+def cumulative_dynamic_auc(times, events, scores, eval_times,
+                           censor_times=None, censor_events=None,
+                           ) -> tuple[np.ndarray, float]:
+    """Cumulative/dynamic time-dependent AUC(t) with IPCW (Uno et al. 2007).
+
+    At horizon t, *cases* are subjects with an observed event by t
+    (weighted 1/G(T_i-)) and *controls* are subjects still at risk
+    (T_j > t); AUC(t) is the weighted probability that a case outranks a
+    control on the risk ``scores`` (ties count 1/2). With no censoring it
+    equals ``sklearn.metrics.roc_auc_score`` with labels 1{T_i <= t}
+    (pinned in tests/test_survival.py). Returns ``(auc_at_t, mean_auc)``
+    where ``mean_auc`` integrates AUC(t) against the Kaplan-Meier
+    decrements of the evaluated cohort's survival function, normalized by
+    their total mass — Uno's restricted-mean summary (the sksurv
+    ``cumulative_dynamic_auc`` convention). A horizon with no cases or no
+    controls yields NaN and is excluded (mass-renormalized) from the mean.
+    """
+    t, e = _as_arrays(times, events)
+    s = np.asarray(scores, dtype=np.float64).reshape(-1)
+    if s.shape != t.shape:
+        raise ValueError(f"scores {s.shape} and times {t.shape} differ")
+    G = _censoring_km(censor_times if censor_times is not None else t,
+                      censor_events if censor_events is not None else e)
+    taus = _check_eval_times(eval_times, t, G)
+
+    g_event = G.left_limit(t)
+    auc = np.full(taus.size, np.nan)
+    for j, tau in enumerate(taus):
+        case = (t <= tau) & e
+        ctrl = t > tau
+        if not case.any() or not ctrl.any():
+            continue
+        w = 1.0 / g_event[case]
+        if not np.all(np.isfinite(w)):
+            raise ValueError("IPCW weight degenerate: G(T-) = 0 for an event")
+        sc, sk = s[case], s[ctrl]
+        wins = (sc[:, None] > sk[None, :]) + 0.5 * (sc[:, None] == sk[None, :])
+        auc[j] = float((w @ wins).sum() / (w.sum() * sk.size))
+
+    km = kaplan_meier(t, e)
+    s_at = km.step_function(taus)
+    mass = -np.diff(np.concatenate([[1.0], s_at]))
+    ok = np.isfinite(auc)
+    mean_auc = (
+        float(np.sum(auc[ok] * mass[ok]) / np.sum(mass[ok]))
+        if ok.any() and np.sum(mass[ok]) > 0
+        else float("nan")
+    )
+    return auc, mean_auc
+
+
+def default_eval_times(times, events, n_times: int = 9) -> np.ndarray:
+    """Evaluation-time grid for the time-dependent metrics: percentiles
+    10..90 of the distinct observed EVENT times, deduplicated and kept
+    strictly inside the follow-up window with G(t) > 0 — i.e. every
+    returned horizon has at least one case, at least one possible control,
+    and finite IPCW weights. May return fewer than ``n_times`` (or empty
+    on degenerate cohorts)."""
+    t, e = _as_arrays(times, events)
+    ets = np.unique(t[e])
+    if ets.size == 0:
+        return np.array([])
+    taus = np.unique(np.percentile(ets, np.linspace(10, 90, n_times)))
+    taus = taus[taus < t.max()]
+    if taus.size:
+        G = _censoring_km(t, e)
+        taus = taus[G.step_function(taus) > 0.0]
+    return taus
+
+
+# ---------------------------------------------------------------------------
 # Cox proportional-hazards regression
 # ---------------------------------------------------------------------------
 
@@ -369,12 +551,18 @@ class CoxPHResult:
         ]
 
     def predict_survival(self, x_row, at: np.ndarray) -> np.ndarray:
-        """S(t | x) from the Breslow baseline (right-continuous lookup)."""
+        """S(t | x) from the Breslow baseline (right-continuous lookup).
+
+        ``x_row`` of shape (p,) returns S at each of the ``at`` times,
+        shape (k,); a matrix of shape (n, p) returns the (n, k) survival
+        matrix (the shape ``brier_score`` consumes)."""
         at = np.asarray(at, dtype=np.float64)
         idx = np.searchsorted(self.baseline_time, at, side="right") - 1
         h0 = np.concatenate([[0.0], self.baseline_cumhaz])[idx + 1]
-        risk = float(np.exp(np.asarray(x_row, np.float64) @ self.coef))
-        return np.exp(-h0 * risk)
+        x = np.asarray(x_row, np.float64)
+        if x.ndim == 2:
+            return np.exp(-np.outer(np.exp(x @ self.coef), h0))
+        return np.exp(-h0 * float(np.exp(x @ self.coef)))
 
 
 def cox_ph(

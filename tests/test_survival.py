@@ -569,3 +569,227 @@ def test_cox_ph_reports_nonconvergence():
     tt = np.exp(1.0 - 0.5 * z + rng.normal(size=n))
     fit2 = cox_ph(tt, np.ones(n, bool), z)
     assert fit2.converged is True
+
+
+# ---------------------------------------------------------------------------
+# Time-dependent accuracy: IPCW Brier score + cumulative/dynamic AUC
+# ---------------------------------------------------------------------------
+
+
+def _censored_sample(n, seed, censor_frac=0.35):
+    """Risk-signal survival data with real censoring."""
+    rng = np.random.default_rng(seed)
+    score = rng.normal(size=n)
+    t = np.exp(2.0 - 0.9 * score + 0.4 * rng.normal(size=n))
+    e = rng.random(n) > censor_frac
+    return t, e, score
+
+
+def _loop_censoring_G(t, e):
+    """Independent censoring-KM oracle: explicit product over distinct
+    censoring times, at-risk rule `t >= u` (deaths before censorings)."""
+    cens_times = np.unique(t[~e])
+
+    def G(at, left=False):
+        prod = 1.0
+        for u in cens_times:
+            if u < at or (not left and u == at):
+                n_u = int(np.sum(t >= u))
+                d_u = int(np.sum((t == u) & ~e))
+                prod *= 1.0 - d_u / n_u
+        return prod
+
+    return G
+
+
+def test_brier_no_censoring_reduces_to_mse():
+    from multimodalbrainsurvival_tpu.ops.survival import brier_score
+
+    rng = np.random.default_rng(0)
+    n = 50
+    t = rng.uniform(1, 100, n)
+    e = np.ones(n, bool)
+    taus = np.array([10.0, 30.0, 60.0])
+    S = rng.uniform(0, 1, (n, taus.size))
+    bs = brier_score(t, e, S, taus)
+    expected = [np.mean(((t > tau).astype(float) - S[:, j]) ** 2)
+                for j, tau in enumerate(taus)]
+    np.testing.assert_allclose(bs, expected, rtol=1e-12)
+
+
+def test_cumulative_dynamic_auc_no_censoring_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        cumulative_dynamic_auc,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 80
+    score = rng.normal(size=n)
+    t = np.exp(2.0 - score + 0.5 * rng.normal(size=n))
+    e = np.ones(n, bool)
+    taus = np.quantile(t, [0.25, 0.5, 0.75])
+    auc, mean_auc = cumulative_dynamic_auc(t, e, score, taus)
+    for j, tau in enumerate(taus):
+        np.testing.assert_allclose(
+            auc[j], roc_auc_score(t <= tau, score), rtol=1e-12
+        )
+    assert min(auc) <= mean_auc <= max(auc)
+
+
+def test_brier_and_auc_match_loop_oracle_censored():
+    """Both IPCW metrics against independent loop-written formulas with an
+    independently-computed censoring KM (Graf 1999 / Uno 2007 forms)."""
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        brier_score,
+        cumulative_dynamic_auc,
+    )
+
+    t, e, score = _censored_sample(60, seed=2)
+    taus = np.quantile(np.unique(t[e]), [0.2, 0.5, 0.8])
+    rng = np.random.default_rng(3)
+    S = rng.uniform(0, 1, (t.size, taus.size))
+    G = _loop_censoring_G(t, e)
+
+    bs_expected = []
+    auc_expected = []
+    for j, tau in enumerate(taus):
+        acc = 0.0
+        for i in range(t.size):
+            if t[i] <= tau and e[i]:
+                acc += S[i, j] ** 2 / G(t[i], left=True)
+            elif t[i] > tau:
+                acc += (1.0 - S[i, j]) ** 2 / G(tau)
+        bs_expected.append(acc / t.size)
+
+        num = den_w = 0.0
+        n_ctrl = int(np.sum(t > tau))
+        for i in range(t.size):
+            if not (t[i] <= tau and e[i]):
+                continue
+            w = 1.0 / G(t[i], left=True)
+            den_w += w
+            for k in range(t.size):
+                if t[k] > tau:
+                    num += w * (float(score[i] > score[k])
+                                + 0.5 * float(score[i] == score[k]))
+        auc_expected.append(num / (den_w * n_ctrl))
+
+    np.testing.assert_allclose(brier_score(t, e, S, taus), bs_expected,
+                               rtol=1e-10)
+    auc, _ = cumulative_dynamic_auc(t, e, score, taus)
+    np.testing.assert_allclose(auc, auc_expected, rtol=1e-10)
+
+
+def test_integrated_brier_score_is_the_trapezoid():
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        brier_score,
+        integrated_brier_score,
+    )
+
+    t, e, _ = _censored_sample(40, seed=4)
+    taus = np.quantile(np.unique(t[e]), [0.2, 0.45, 0.8])
+    S = np.random.default_rng(5).uniform(0, 1, (t.size, taus.size))
+    bs = brier_score(t, e, S, taus)
+    ibs = integrated_brier_score(t, e, S, taus)
+    assert ibs == pytest.approx(
+        np.trapezoid(bs, taus) / (taus[-1] - taus[0]), rel=1e-12
+    )
+    with pytest.raises(ValueError, match=">= 2 eval times"):
+        integrated_brier_score(t, e, S[:, :1], taus[:1])
+
+
+def test_auc_perfect_ranking_is_one_under_censoring():
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        cumulative_dynamic_auc,
+    )
+
+    # score = -time: every case outranks every control at every horizon
+    t = np.array([2., 4., 6., 8., 10., 12., 14., 16.])
+    e = np.array([1, 1, 0, 1, 0, 1, 1, 0], bool)
+    auc, mean_auc = cumulative_dynamic_auc(t, e, -t, np.array([5.0, 9.0]))
+    np.testing.assert_allclose(auc, 1.0)
+    assert mean_auc == pytest.approx(1.0)
+
+
+def test_time_dependent_validation_errors():
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        brier_score,
+        cumulative_dynamic_auc,
+    )
+
+    t, e, score = _censored_sample(30, seed=6)
+    S = np.full((30, 1), 0.5)
+    with pytest.raises(ValueError, match="beyond follow-up"):
+        brier_score(t, e, S, [float(t.max()) + 1.0])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        cumulative_dynamic_auc(t, e, score, [5.0, 5.0])
+    with pytest.raises(ValueError, match="surv_probs"):
+        brier_score(t, e, np.full((30, 2), 0.5), [float(np.median(t))])
+    with pytest.raises(ValueError, match="probabilities"):
+        brier_score(t, e, np.full((30, 1), 1.5), [float(np.median(t))])
+
+
+def test_default_eval_times_are_valid_horizons():
+    from multimodalbrainsurvival_tpu.ops.survival import (
+        brier_score,
+        default_eval_times,
+    )
+
+    t, e, _ = _censored_sample(70, seed=7)
+    taus = default_eval_times(t, e)
+    assert taus.size >= 2
+    assert np.all(np.diff(taus) > 0)
+    for tau in taus:
+        assert np.any((t <= tau) & e)  # a case exists
+        assert np.any(t > tau)         # a control exists
+    # the whole grid is usable by the metrics without raising
+    S = np.full((t.size, taus.size), 0.5)
+    assert np.all(np.isfinite(brier_score(t, e, S, taus)))
+    # degenerate cohort: no events -> empty grid
+    assert default_eval_times(t, np.zeros_like(e)).size == 0
+
+
+def test_predict_survival_matrix_matches_rowwise():
+    from multimodalbrainsurvival_tpu.ops.survival import cox_ph
+
+    t, e, score = _censored_sample(50, seed=8)
+    fit = cox_ph(t, e, score[:, None])
+    at = np.quantile(t, [0.3, 0.6, 0.9])
+    mat = fit.predict_survival(score[:, None], at)
+    assert mat.shape == (50, 3)
+    for i in (0, 17, 49):
+        np.testing.assert_allclose(
+            mat[i], fit.predict_survival(score[i:i + 1], at), rtol=1e-12
+        )
+    # survival curves decrease in t and in risk
+    assert np.all(np.diff(mat, axis=1) <= 0)
+
+
+def test_evaluate_scores_cli_time_dependent(tmp_path):
+    from multimodalbrainsurvival_tpu.cli.evaluate_scores import main
+
+    train_csv = tmp_path / "train_df.csv"
+    test_csv = tmp_path / "test_df.csv"
+    _write_frame(train_csv, 120, seed=9)
+    _write_frame(test_csv, 90, seed=10)
+    out_dir = tmp_path / "eval"
+    main(["--scores", str(test_csv), "--train_scores", str(train_csv),
+          "--output_dir", str(out_dir), "--n_boot", "20"])
+    td = json.loads((out_dir / "evaluation_test_df.json").read_text())[
+        "time_dependent"]
+    assert td["calibration"] == "train_cox"
+    assert len(td["eval_times"]) == len(td["auc"]) == len(td["brier"])
+    # a strong risk signal must discriminate and beat the trivial 0.25
+    assert td["mean_auc"] > 0.6
+    assert 0.0 < td["ibs"] < 0.25
+
+    # explicit horizons + self-calibration
+    out2 = tmp_path / "eval2"
+    main(["--scores", str(test_csv), "--output_dir", str(out2),
+          "--n_boot", "20", "--eval_times", "5,10,20"])
+    td2 = json.loads((out2 / "evaluation_test_df.json").read_text())[
+        "time_dependent"]
+    assert td2["calibration"] == "self_cox"
+    assert td2["eval_times"] == [5.0, 10.0, 20.0]

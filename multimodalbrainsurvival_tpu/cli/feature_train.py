@@ -56,6 +56,8 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
+        # gradient accumulation (TPU-native extension; TrainSettings doc)
+        accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=make_device_put(config),
         # parity: EarlyFusion's printed trace starts with an epoch(-1) eval
         # (2_EarlyFusion_train.py:311-312) and weights the logged running

@@ -171,6 +171,8 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
+        # gradient accumulation (TPU-native extension; TrainSettings doc)
+        accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=device_put_fn,
         # histo-only reference quirk: no best checkpoint at epoch 0
         # (2_HistoPath_train.py:378 `and epoch > 0`)

@@ -151,6 +151,8 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
+        # gradient accumulation (TPU-native extension; TrainSettings doc)
+        accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=device_put_fn,
     )
     writer = make_writer(args.log, summary_path, flag, config)

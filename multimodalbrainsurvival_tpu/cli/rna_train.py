@@ -78,6 +78,8 @@ def main(argv=None):
         reference_parity=config.reference_parity,
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
+        # gradient accumulation (TPU-native extension; TrainSettings doc)
+        accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=make_device_put(config),
         # parity: the reference weights the LOGGED running loss by the batch
         # event count (1_GeneExpress_train.py:166-171); logging only

@@ -36,7 +36,8 @@ KNOWN_KEYS = {
     "keep_bag_remainder", "num_devices", "resume", "fold_bn",
     "cache_patches_on_device", "cache_max_bytes_per_device",
     "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
-    "quantize", "quantize_trunk", "remat", "export_path", "export_kind",
+    "quantize", "quantize_trunk", "remat", "freeze_bn", "accumulate_steps",
+    "export_path", "export_kind",
     # streaming slide→features serving (cli/slide_extractfeatures.py)
     "slide_csv_path", "slide_path", "slides", "max_patches_per_slide",
     "dezoom_factor", "background_threshold", "save_patch_features",

@@ -120,6 +120,23 @@ class TrainSettings:
     #   Logging-only — training dynamics are identical either way.
     pre_training_eval: bool = False
     running_loss_weight: str = "samples"  # "samples" | "events"
+    # Gradient accumulation (TPU-native extension; the reference has none —
+    # its effective batch IS its device batch, 2_HistoPath_train.py:308-364).
+    # accumulate_steps=k splits each batch of size B into k microbatches of
+    # B//k inside the jitted step (a lax.scan over the microbatch axis), runs
+    # forward+backward per microbatch, accumulates gradients in f32, and
+    # applies ONE optimizer update with the mean gradient. Peak activation
+    # memory drops to one microbatch (composes with `remat`), so effective
+    # batches (or full-slide bags) beyond one chip's HBM still train. Notes:
+    #  - per-sample losses (NLLSurv / classification) are mean-of-microbatch
+    #    -means; the Cox partial likelihood builds its risk set PER
+    #    microbatch, exactly like torch-style gradient accumulation.
+    #  - BatchNorm running statistics update once per microbatch,
+    #    sequentially (again the torch-accumulation semantics).
+    #  - microbatches interleave samples (i, i+k, i+2k, ...) so the
+    #    device-batch axis stays sharded over dp without resharding.
+    #  - requires batch_size % accumulate_steps == 0.
+    accumulate_steps: int = 1
     # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
     # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
     # entire backward — the exact analog of the reference's
@@ -425,6 +442,64 @@ def train_model(
             )
             err.throw()
             return params, new_stats, opt_state, loss, rng
+
+    elif settings.accumulate_steps > 1:
+        # Gradient accumulation (see TrainSettings.accumulate_steps): split
+        # the batch into k interleaved microbatches, scan forward+backward
+        # over them holding only one microbatch's activations live, then one
+        # optimizer update with the f32-mean gradient.
+        k = int(settings.accumulate_steps)
+        if settings.batch_size % k != 0:
+            raise ValueError(
+                f"accumulate_steps={k} must divide batch_size="
+                f"{settings.batch_size}"
+            )
+
+        def _microbatches(arrays):
+            def split(x):
+                mb = x.shape[0] // k
+                # (B, ...) -> (mb, k, ...) -> (k, mb, ...): microbatch i is
+                # samples (i, i+k, i+2k, ...). The row-major split keeps each
+                # device's contiguous dp shard of the batch axis intact, so
+                # under a dp mesh the moveaxis is a local transpose, not a
+                # resharding collective.
+                x = x.reshape((mb, k) + x.shape[1:])
+                return jnp.moveaxis(x, 1, 0)
+
+            return jax.tree.map(split, arrays)
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, arrays, rng):
+            rng, step_rng = jax.random.split(rng)
+            micro = _microbatches(arrays)
+            mb_rngs = jax.random.split(step_rng, k)
+
+            def body(carry, xs):
+                stats, gacc, lacc = carry
+                mb_arrays, mb_rng = xs
+                (loss, new_stats), grads = jax.value_and_grad(
+                    _forward_loss, has_aux=True
+                )(params, stats, mb_arrays, mb_rng)
+                gacc = jax.tree.map(
+                    lambda a, g: a + g.astype(a.dtype), gacc, grads
+                )
+                return (new_stats, gacc, lacc + loss), None
+
+            gzero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                body, (batch_stats, gzero, jnp.float32(0.0)),
+                (micro, mb_rngs),
+            )
+            grads = jax.tree.map(
+                lambda g, p: (g / k).astype(p.dtype), gsum, params
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, lsum / k, rng
+
+        run_step = train_step
 
     else:
 

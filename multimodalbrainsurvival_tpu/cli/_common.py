@@ -139,6 +139,63 @@ def run_train(train_model_fn, *args, **kwargs):
         raise SystemExit(PREEMPTED_EXIT_CODE)
 
 
+def tune_optimizer(tx, config: Config, n_train: int, *, num_epochs: int,
+                   batch_size: int):
+    """Apply the opt-in whole-model optimizer knobs from the config
+    (TPU-native training extensions — the reference trains at a constant
+    Adam LR with no clipping, ``2_HistoPath_train.py:552-559``):
+
+    - ``lr_schedule``: "constant" | "cosine" | "linear" | "step" — a
+      RELATIVE decay factor multiplying every parameter group's own base LR
+      (``train/optim.relative_lr_schedule``), over
+      ``ceil(n_train / batch_size) * num_epochs`` optimizer steps;
+    - ``warmup_steps``: linear 0→1 LR ramp over that many steps (composes
+      with any schedule kind, incl. "constant" for warmup-only);
+    - ``lr_min_factor`` (default 0.0), ``lr_step_every_epochs`` +
+      ``lr_step_gamma`` (torch ``StepLR`` shape, in epochs);
+    - ``grad_clip_norm``: global-norm gradient clipping across the FULL
+      parameter tree before the per-group transforms
+      (``torch.nn.utils.clip_grad_norm_`` semantics).
+
+    With none of the keys set, ``tx`` is returned untouched (identical
+    optimizer state tree → plain checkpoints stay layout-compatible).
+    """
+    from multimodalbrainsurvival_tpu.train.optim import (
+        relative_lr_schedule, wrap_optimizer,
+    )
+
+    kind = str(config.get("lr_schedule", "constant"))
+    warmup = int(config.get("warmup_steps", 0))
+    clip = config.get("grad_clip_norm")
+    if kind == "constant" and warmup == 0 and clip is None:
+        return tx
+    steps_per_epoch = max(1, -(-int(n_train) // int(batch_size)))
+    schedule = None
+    if kind != "constant" or warmup > 0:
+        schedule = relative_lr_schedule(
+            kind,
+            total_steps=steps_per_epoch * int(num_epochs),
+            warmup_steps=warmup,
+            min_factor=float(config.get("lr_min_factor", 0.0)),
+            step_every=int(config.get("lr_step_every_epochs", 0))
+            * steps_per_epoch,
+            step_gamma=float(config.get("lr_step_gamma", 0.1)),
+        )
+    return wrap_optimizer(
+        tx, schedule=schedule,
+        grad_clip_norm=float(clip) if clip is not None else None,
+    )
+
+
+def early_stop_kwargs(config: Config) -> dict:
+    """TrainSettings kwargs for the opt-in early-stopping knobs (TPU-native
+    extension; see TrainSettings.early_stop_patience)."""
+    return {
+        "early_stop_patience": int(config.get("early_stop_patience", 0)),
+        "early_stop_min_delta": float(config.get("early_stop_min_delta", 0.0)),
+    }
+
+
 def make_device_put(config: Config):
     """``mesh: {"dp": N, "mp": M}`` in the config shards every batch over a
     device mesh (``parallel/``); absent or dp*mp == 1 → single-device (None).

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 
 from multimodalbrainsurvival_tpu.cli._common import (
+    early_stop_kwargs,
     experiment_dirs,
     load_config,
     make_device_put,
@@ -17,6 +18,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_writer,
     maybe_restore,
     run_train,
+    tune_optimizer,
 )
 from multimodalbrainsurvival_tpu.data import FeatureTableDataset
 from multimodalbrainsurvival_tpu.models import EarlyFusionMLP
@@ -64,6 +66,7 @@ def main(argv=None):
         # loss by the event count (:161-166); logging only
         pre_training_eval=config.reference_parity,
         running_loss_weight="events" if config.reference_parity else "samples",
+        **early_stop_kwargs(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 
@@ -73,7 +76,11 @@ def main(argv=None):
                                    for k in adapter.array_keys})
     variables = maybe_restore(variables, config, Checkpointer(),
                               keys=("restore_path",))
-    tx = torch_adam(float(config["lr"]), config.weight_decay)
+    tx = tune_optimizer(
+        torch_adam(float(config["lr"]), config.weight_decay),
+        config, len(datasets["train"]),
+        num_epochs=settings.num_epochs, batch_size=settings.batch_size,
+    )
 
     run_train(train_model, adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodalbrainsurvival_tpu.cli._common import (
+    early_stop_kwargs,
     experiment_dirs,
     load_config,
     make_device_put,
@@ -25,6 +26,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     maybe_restore,
     quantize_trunk_training,
     run_train,
+    tune_optimizer,
 )
 from multimodalbrainsurvival_tpu.data import PatchBagDataset
 from multimodalbrainsurvival_tpu.models import AggregationModel, make_aggregator
@@ -177,6 +179,7 @@ def main(argv=None):
         # histo-only reference quirk: no best checkpoint at epoch 0
         # (2_HistoPath_train.py:378 `and epoch > 0`)
         best_from_epoch=1,
+        **early_stop_kwargs(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 
@@ -204,6 +207,10 @@ def main(argv=None):
     tx, labels = build_grouped_optimizer(
         variables["params"],
         [("train", ladder, torch_adam(float(config["lr"]), config.weight_decay))],
+    )
+    tx = tune_optimizer(
+        tx, config, len(datasets["train"]),
+        num_epochs=settings.num_epochs, batch_size=settings.batch_size,
     )
     # frozen layers skip backward entirely (torch requires_grad=False parity)
     settings.param_labels = labels

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodalbrainsurvival_tpu.cli._common import (
+    early_stop_kwargs,
     experiment_dirs,
     load_config,
     make_device_put,
@@ -23,6 +24,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     maybe_restore,
     quantize_trunk_training,
     run_train,
+    tune_optimizer,
 )
 from multimodalbrainsurvival_tpu.cli.histo_train import load_pretrained
 from multimodalbrainsurvival_tpu.data import PatchBagRNADataset
@@ -154,6 +156,7 @@ def main(argv=None):
         # gradient accumulation (TPU-native extension; TrainSettings doc)
         accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=device_put_fn,
+        **early_stop_kwargs(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 
@@ -178,6 +181,10 @@ def main(argv=None):
     )
 
     tx, labels = build_joint_optimizer(variables["params"], config)
+    tx = tune_optimizer(
+        tx, config, len(datasets["train"]),
+        num_epochs=settings.num_epochs, batch_size=settings.batch_size,
+    )
     # frozen layers skip backward entirely (torch requires_grad=False parity)
     settings.param_labels = labels
     run_train(train_model, adapter, datasets, tx, settings, variables=variables,

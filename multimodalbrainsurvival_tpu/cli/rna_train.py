@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 
 from multimodalbrainsurvival_tpu.cli._common import (
+    early_stop_kwargs,
     experiment_dirs,
     load_config,
     make_device_put,
@@ -20,6 +21,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_writer,
     maybe_restore,
     run_train,
+    tune_optimizer,
 )
 from multimodalbrainsurvival_tpu.data import RNATableDataset
 from multimodalbrainsurvival_tpu.models import RNAEncoder, RNAOnlyModel
@@ -84,6 +86,7 @@ def main(argv=None):
         # parity: the reference weights the LOGGED running loss by the batch
         # event count (1_GeneExpress_train.py:166-171); logging only
         running_loss_weight="events" if config.reference_parity else "samples",
+        **early_stop_kwargs(config),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 
@@ -93,7 +96,11 @@ def main(argv=None):
                                    for k in adapter.array_keys})
     variables = maybe_restore(variables, config, Checkpointer(),
                               keys=("restore_path",))
-    tx = build_rna_optimizer(variables["params"], config)
+    tx = tune_optimizer(
+        build_rna_optimizer(variables["params"], config),
+        config, len(datasets["train"]),
+        num_epochs=settings.num_epochs, batch_size=settings.batch_size,
+    )
 
     run_train(train_model, adapter, datasets, tx, settings, variables=variables,
                 writer=writer, rng=rng)

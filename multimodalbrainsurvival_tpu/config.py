@@ -37,6 +37,9 @@ KNOWN_KEYS = {
     "cache_patches_on_device", "cache_max_bytes_per_device",
     "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
     "quantize", "quantize_trunk", "remat", "freeze_bn", "accumulate_steps",
+    "lr_schedule", "warmup_steps", "lr_min_factor", "lr_step_every_epochs",
+    "lr_step_gamma", "grad_clip_norm", "early_stop_patience",
+    "early_stop_min_delta",
     "export_path", "export_kind",
     # streaming slide→features serving (cli/slide_extractfeatures.py)
     "slide_csv_path", "slide_path", "slides", "max_patches_per_slide",

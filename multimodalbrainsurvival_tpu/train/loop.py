@@ -137,6 +137,17 @@ class TrainSettings:
     #    device-batch axis stays sharded over dp without resharding.
     #  - requires batch_size % accumulate_steps == 0.
     accumulate_steps: int = 1
+    # Early stopping (TPU-native extension; the reference always runs all
+    # num_epochs): patience > 0 stops training once the val loss has not
+    # improved by more than early_stop_min_delta for that many consecutive
+    # epochs. Counting is independent of the best-checkpoint quirk
+    # (best_from_epoch) — it tracks the raw minimum val loss seen — and the
+    # post-training tail (last/best saves, final evals, CSV frames) runs
+    # unchanged. Requires "val" in eval_splits_during_training and datasets;
+    # counters restart on resume (the stop decision replays from the
+    # resumed epoch's evals).
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
     # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
     # entire backward — the exact analog of the reference's
@@ -369,6 +380,121 @@ def evaluate(
     return val_loss, frame, metrics
 
 
+def build_train_step(settings: TrainSettings, tx, forward_loss):
+    """Build the jitted training step ``train_model`` drives.
+
+    ``forward_loss(params, batch_stats, arrays, step_rng) -> (loss,
+    new_batch_stats)`` is the model+loss closure; the returned
+    ``run_step(params, batch_stats, opt_state, arrays, rng)`` yields
+    ``(params, batch_stats, opt_state, loss, rng)`` with the PRNG split
+    traced INSIDE the step (zero host→device transfers per step — see the
+    comment on the plain branch). Exposed at module level so the perf
+    harnesses (``benchmarks/accum_audit.py``) audit the EXACT production
+    step, not a reimplementation.
+    """
+    if settings.debug_checkify:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(
+            forward_loss, errors=checkify.float_checks
+        )
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, arrays, step_rng):
+            err, (loss, new_stats) = checked(
+                params, batch_stats, arrays, step_rng
+            )
+            return params, new_stats, opt_state, loss, err
+
+        def run_step(params, batch_stats, opt_state, arrays, rng):
+            # debug mode: forward-only with op-level NaN localization
+            rng, step_rng = jax.random.split(rng)
+            _, new_stats, _, loss, err = train_step(
+                params, batch_stats, opt_state, arrays, step_rng
+            )
+            err.throw()
+            return params, new_stats, opt_state, loss, rng
+
+        return run_step
+
+    if settings.accumulate_steps > 1:
+        # Gradient accumulation (see TrainSettings.accumulate_steps): split
+        # the batch into k interleaved microbatches, scan forward+backward
+        # over them holding only one microbatch's activations live, then one
+        # optimizer update with the f32-mean gradient.
+        k = int(settings.accumulate_steps)
+        if settings.batch_size % k != 0:
+            raise ValueError(
+                f"accumulate_steps={k} must divide batch_size="
+                f"{settings.batch_size}"
+            )
+
+        def _microbatches(arrays):
+            def split(x):
+                mb = x.shape[0] // k
+                # (B, ...) -> (mb, k, ...) -> (k, mb, ...): microbatch i is
+                # samples (i, i+k, i+2k, ...). The row-major split keeps each
+                # device's contiguous dp shard of the batch axis intact, so
+                # under a dp mesh the moveaxis is a local transpose, not a
+                # resharding collective.
+                x = x.reshape((mb, k) + x.shape[1:])
+                return jnp.moveaxis(x, 1, 0)
+
+            return jax.tree.map(split, arrays)
+
+        @jax.jit
+        def accum_step(params, batch_stats, opt_state, arrays, rng):
+            rng, step_rng = jax.random.split(rng)
+            micro = _microbatches(arrays)
+            mb_rngs = jax.random.split(step_rng, k)
+
+            def body(carry, xs):
+                stats, gacc, lacc = carry
+                mb_arrays, mb_rng = xs
+                (loss, new_stats), grads = jax.value_and_grad(
+                    forward_loss, has_aux=True
+                )(params, stats, mb_arrays, mb_rng)
+                gacc = jax.tree.map(
+                    lambda a, g: a + g.astype(a.dtype), gacc, grads
+                )
+                return (new_stats, gacc, lacc + loss), None
+
+            gzero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                body, (batch_stats, gzero, jnp.float32(0.0)),
+                (micro, mb_rngs),
+            )
+            grads = jax.tree.map(
+                lambda g, p: (g / k).astype(p.dtype), gsum, params
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, lsum / k, rng
+
+        return accum_step
+
+    # The PRNG split happens INSIDE the jitted step (same key stream —
+    # jax.random.split is deterministic wherever it's traced): every
+    # per-step input is then the device-resident output of the previous
+    # dispatch, so driving the loop costs one async enqueue per step with
+    # zero host→device transfers. Measured on the tunneled v5e: a
+    # separate host-side split dispatch per step cost ~17% wall
+    # (benchmarks/train_bench.py --method comparison).
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, arrays, rng):
+        rng, step_rng = jax.random.split(rng)
+        (loss, new_stats), grads = jax.value_and_grad(
+            forward_loss, has_aux=True
+        )(params, batch_stats, arrays, step_rng)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, loss, rng
+
+    return train_step
+
+
 def train_model(
     adapter,
     datasets: dict[str, Any],
@@ -420,107 +546,7 @@ def train_model(
         loss = loss_fn(out, arrays, arrays[adapter.sample_mask_key])
         return loss, new_stats
 
-    if settings.debug_checkify:
-        from jax.experimental import checkify
-
-        checked = checkify.checkify(
-            _forward_loss, errors=checkify.float_checks
-        )
-
-        @jax.jit
-        def train_step(params, batch_stats, opt_state, arrays, step_rng):
-            err, (loss, new_stats) = checked(
-                params, batch_stats, arrays, step_rng
-            )
-            return params, new_stats, opt_state, loss, err
-
-        def run_step(params, batch_stats, opt_state, arrays, rng):
-            # debug mode: forward-only with op-level NaN localization
-            rng, step_rng = jax.random.split(rng)
-            _, new_stats, _, loss, err = train_step(
-                params, batch_stats, opt_state, arrays, step_rng
-            )
-            err.throw()
-            return params, new_stats, opt_state, loss, rng
-
-    elif settings.accumulate_steps > 1:
-        # Gradient accumulation (see TrainSettings.accumulate_steps): split
-        # the batch into k interleaved microbatches, scan forward+backward
-        # over them holding only one microbatch's activations live, then one
-        # optimizer update with the f32-mean gradient.
-        k = int(settings.accumulate_steps)
-        if settings.batch_size % k != 0:
-            raise ValueError(
-                f"accumulate_steps={k} must divide batch_size="
-                f"{settings.batch_size}"
-            )
-
-        def _microbatches(arrays):
-            def split(x):
-                mb = x.shape[0] // k
-                # (B, ...) -> (mb, k, ...) -> (k, mb, ...): microbatch i is
-                # samples (i, i+k, i+2k, ...). The row-major split keeps each
-                # device's contiguous dp shard of the batch axis intact, so
-                # under a dp mesh the moveaxis is a local transpose, not a
-                # resharding collective.
-                x = x.reshape((mb, k) + x.shape[1:])
-                return jnp.moveaxis(x, 1, 0)
-
-            return jax.tree.map(split, arrays)
-
-        @jax.jit
-        def train_step(params, batch_stats, opt_state, arrays, rng):
-            rng, step_rng = jax.random.split(rng)
-            micro = _microbatches(arrays)
-            mb_rngs = jax.random.split(step_rng, k)
-
-            def body(carry, xs):
-                stats, gacc, lacc = carry
-                mb_arrays, mb_rng = xs
-                (loss, new_stats), grads = jax.value_and_grad(
-                    _forward_loss, has_aux=True
-                )(params, stats, mb_arrays, mb_rng)
-                gacc = jax.tree.map(
-                    lambda a, g: a + g.astype(a.dtype), gacc, grads
-                )
-                return (new_stats, gacc, lacc + loss), None
-
-            gzero = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
-            )
-            (new_stats, gsum, lsum), _ = jax.lax.scan(
-                body, (batch_stats, gzero, jnp.float32(0.0)),
-                (micro, mb_rngs),
-            )
-            grads = jax.tree.map(
-                lambda g, p: (g / k).astype(p.dtype), gsum, params
-            )
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_stats, new_opt_state, lsum / k, rng
-
-        run_step = train_step
-
-    else:
-
-        # The PRNG split happens INSIDE the jitted step (same key stream —
-        # jax.random.split is deterministic wherever it's traced): every
-        # per-step input is then the device-resident output of the previous
-        # dispatch, so driving the loop costs one async enqueue per step with
-        # zero host→device transfers. Measured on the tunneled v5e: a
-        # separate host-side split dispatch per step cost ~17% wall
-        # (benchmarks/train_bench.py --method comparison).
-        @jax.jit
-        def train_step(params, batch_stats, opt_state, arrays, rng):
-            rng, step_rng = jax.random.split(rng)
-            (loss, new_stats), grads = jax.value_and_grad(
-                _forward_loss, has_aux=True
-            )(params, batch_stats, arrays, step_rng)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_stats, new_opt_state, loss, rng
-
-        run_step = train_step
+    run_step = build_train_step(settings, tx, _forward_loss)
 
     ckpt = Checkpointer() if settings.save_dir else None
     if settings.save_dir:
@@ -755,6 +781,11 @@ def train_model(
         )
         raise TrainingPreempted(state_epoch, epoch_step, preempt_path)
 
+    # early stopping (TrainSettings.early_stop_patience): raw min val loss
+    # seen this run, independent of the best-checkpoint bookkeeping above
+    es_best = np.inf
+    es_stale = 0
+
     try:
         for epoch in range(start_epoch, settings.num_epochs):
             # a SIGTERM that landed during the previous epoch's eval (or
@@ -876,6 +907,10 @@ def train_model(
                 )
                 print(f"{split.upper()} Loss: {sl:.4f}")
                 if split == "val":
+                    if sl < es_best - settings.early_stop_min_delta:
+                        es_best, es_stale = sl, 0
+                    else:
+                        es_stale += 1
                     # parity quirk: the histo driver only tracks best for
                     # epoch > 0 (2_HistoPath_train.py:378-381, via
                     # best_from_epoch=1); the other reference drivers save
@@ -899,6 +934,16 @@ def train_model(
             state_epoch, epoch_step = epoch, 0
             if ckpt is not None:
                 ckpt.save(state_path, _full_state())
+            if (
+                settings.early_stop_patience > 0
+                and es_stale >= settings.early_stop_patience
+            ):
+                print(
+                    f"Early stopping at epoch {epoch}: val loss has not "
+                    f"improved by > {settings.early_stop_min_delta:g} for "
+                    f"{es_stale} epochs (best {es_best:.4f})"
+                )
+                break
     finally:
         if handler_installed:
             # signal.signal() returns None for handlers installed by

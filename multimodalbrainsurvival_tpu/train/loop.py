@@ -148,6 +148,16 @@ class TrainSettings:
     # resumed epoch's evals).
     early_stop_patience: int = 0
     early_stop_min_delta: float = 0.0
+    # Buffer donation (TPU-native extension): the jitted step donates the
+    # incoming params / batch_stats / opt_state buffers, so XLA aliases the
+    # updated state onto them in place instead of double-buffering — peak
+    # HBM drops by ~one full copy of (params + Adam moments), measured in
+    # benchmarks/donate_audit.py. Batches and the PRNG key are NOT donated
+    # (loaders may reuse device-cached batches across steps). train_model
+    # protects caller-passed `variables` with a one-time jit-identity copy,
+    # so the caller's arrays are never invalidated. checkify debug steps
+    # never donate.
+    donate_state: bool = True
     # Label tree from build_grouped_optimizer: leaves labeled "_frozen" are
     # stop_gradient'd inside the loss, so XLA dead-code-eliminates their
     # entire backward — the exact analog of the reference's
@@ -389,9 +399,16 @@ def build_train_step(settings: TrainSettings, tx, forward_loss):
     ``(params, batch_stats, opt_state, loss, rng)`` with the PRNG split
     traced INSIDE the step (zero host→device transfers per step — see the
     comment on the plain branch). Exposed at module level so the perf
-    harnesses (``benchmarks/accum_audit.py``) audit the EXACT production
-    step, not a reimplementation.
+    harnesses (``benchmarks/accum_audit.py``, ``donate_audit.py``) audit the
+    EXACT production step, not a reimplementation.
+
+    ``settings.donate_state`` donates the state arguments (params /
+    batch_stats / opt_state) into the step: callers must thread the returned
+    state forward and never touch the arrays passed in again (``train_model``
+    rebinds every step, so this holds by construction; see
+    TrainSettings.donate_state).
     """
+    donate = (0, 1, 2) if settings.donate_state else ()
     if settings.debug_checkify:
         from jax.experimental import checkify
 
@@ -442,7 +459,7 @@ def build_train_step(settings: TrainSettings, tx, forward_loss):
 
             return jax.tree.map(split, arrays)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def accum_step(params, batch_stats, opt_state, arrays, rng):
             rng, step_rng = jax.random.split(rng)
             micro = _microbatches(arrays)
@@ -482,7 +499,7 @@ def build_train_step(settings: TrainSettings, tx, forward_loss):
     # zero host→device transfers. Measured on the tunneled v5e: a
     # separate host-side split dispatch per step cost ~17% wall
     # (benchmarks/train_bench.py --method comparison).
-    @jax.jit
+    @partial(jax.jit, donate_argnums=donate)
     def train_step(params, batch_stats, opt_state, arrays, rng):
         rng, step_rng = jax.random.split(rng)
         (loss, new_stats), grads = jax.value_and_grad(
@@ -525,6 +542,16 @@ def train_model(
         )
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
+    if settings.donate_state and not settings.debug_checkify:
+        # The step donates its state buffers (TrainSettings.donate_state).
+        # The caller keeps ownership of `variables` — a jit identity is a
+        # true device-side deep copy (non-donated jit outputs never alias
+        # inputs, and it preserves shardings), so the first step donates
+        # OUR copy, never the caller's arrays. One-time cost, ~params size.
+        _copy = jax.jit(lambda t: t)
+        params = _copy(params)
+        if batch_stats is not None:
+            batch_stats = _copy(batch_stats)
     opt_state = tx.init(params)
 
     if settings.param_labels is not None:

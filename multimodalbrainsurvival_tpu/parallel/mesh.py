@@ -61,10 +61,30 @@ _BATCH_AXIS_KEYS = {
 }
 
 
+def host_to_global(value, sharding: NamedSharding):
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``jax.device_put``. Multi-process (the mesh spans
+    hosts after ``initialize_distributed``): ``jax.make_array_from_callback``
+    — every process presents the same GLOBAL host value and the callback is
+    invoked only for this process's addressable shards, so each host
+    transfers exactly its slice of the batch over PCIe and the resulting
+    global array is legal as a jit input spanning hosts. (A bare
+    ``device_put`` cannot target non-addressable devices.)
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    v = np.asarray(value)
+    return jax.make_array_from_callback(v.shape, sharding, lambda idx: v[idx])
+
+
 def batch_device_put(mesh: Mesh, *, shard_bag: bool = False):
     """Returns a ``device_put_fn`` for ``TrainSettings``: shards every batch
     array on ``dp`` along axis 0 (and the bag axis on ``mp`` when
-    ``shard_bag``), replicating anything unknown."""
+    ``shard_bag``), replicating anything unknown. Works unchanged when the
+    mesh spans processes (multi-host DCN): see :func:`host_to_global`;
+    proven end-to-end by the two-process production-train-step test
+    (``tests/test_parallel.py::test_two_process_production_train_step``)."""
 
     def put(arrays: dict) -> dict:
         out = {}
@@ -76,7 +96,7 @@ def batch_device_put(mesh: Mesh, *, shard_bag: bool = False):
                     spec = P("dp")
             else:
                 spec = P()
-            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            out[k] = host_to_global(v, NamedSharding(mesh, spec))
         return out
 
     # callers that must co-locate params with the sharded batches (serving

@@ -27,6 +27,112 @@ import jax.numpy as jnp  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 
+def _full_value(global_array) -> np.ndarray:
+    """Host copy of a REPLICATED global array (each device holds the full
+    value, so the first addressable shard is the whole array — device_get
+    would refuse the non-addressable remote shards)."""
+    return np.asarray(global_array.addressable_shards[0].data)
+
+
+def build_train_fixture():
+    """Model + settings + forward_loss shared BIT-EXACTLY between the worker
+    processes and the pytest harness's single-process control run."""
+    import flax.linen as nn
+
+    from multimodalbrainsurvival_tpu.train.adapters import TableAdapter
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, make_loss_fn,
+    )
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(1)(nn.tanh(nn.Dense(8)(x)))
+
+        def extract(self, x, train=False):
+            return x
+
+    adapter = TableAdapter(model=MLP())
+    settings = TrainSettings(task="survival_prediction", batch_size=8)
+    loss_fn, _ = make_loss_fn(settings)
+
+    def forward_loss(params, stats, arrays, step_rng):
+        out, new = adapter.apply(
+            {"params": params}, arrays, train=True, rng=step_rng
+        )
+        return loss_fn(out, arrays, arrays[adapter.sample_mask_key]), new
+
+    return adapter, settings, forward_loss
+
+
+def train_step_phase(mesh, process_id: int) -> None:
+    """Run the PRODUCTION train step (train.loop.build_train_step — the exact
+    step every train CLI drives, donation included) across the processes:
+    dp-sharded batches placed with the library's own batch_device_put
+    (host_to_global → make_array_from_callback on multi-process), the Cox
+    partial likelihood coupling the risk set across BOTH hosts inside jit,
+    and gradients reduced by GSPMD collectives over the process boundary.
+    Prints a bit-exact digest of the final params for the pytest harness to
+    compare across processes and against a single-process control."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put
+    from multimodalbrainsurvival_tpu.parallel.mesh import host_to_global
+    from multimodalbrainsurvival_tpu.train.loop import build_train_step
+
+    adapter, settings, forward_loss = build_train_fixture()
+    batch = make_worker_batch()
+    put = batch_device_put(mesh)
+    arrays = put(batch)
+
+    # identical init on every process (same seed), then replicate globally
+    variables = adapter.init(
+        jax.random.PRNGKey(0), {"data": jnp.asarray(batch["data"])}
+    )
+    host_params = jax.tree.map(np.asarray, variables["params"])
+    rep = NamedSharding(mesh, P())
+    params = jax.tree.map(lambda v: host_to_global(v, rep), host_params)
+
+    # SGD, not Adam: the harness compares against a single-process control,
+    # and Adam's g/sqrt(v) amplifies benign cross-process reduction-order
+    # float noise unboundedly on near-zero-gradient params; SGD keeps the
+    # discrepancy proportional to the gradient itself
+    tx = optax.sgd(1e-2)
+    # eager ops on non-fully-addressable arrays are illegal — init under jit
+    opt_state = jax.jit(tx.init)(params)
+    step = build_train_step(settings, tx, forward_loss)
+
+    rng = host_to_global(
+        np.asarray(jax.random.PRNGKey(1), np.uint32), rep
+    )
+    loss = None
+    for _ in range(3):
+        params, _, opt_state, loss, rng = step(
+            params, None, opt_state, arrays, rng
+        )
+    flat = np.concatenate(
+        [_full_value(leaf).ravel() for leaf in jax.tree.leaves(params)]
+    ).astype(np.float32)
+    print(
+        f"MULTIHOST-TRAIN OK pid={process_id} "
+        f"loss={float(_full_value(loss)):.6f} "
+        f"params={flat.tobytes().hex()}",
+        flush=True,
+    )
+
+
+def make_worker_batch() -> dict:
+    """The fixed synthetic survival batch — module-level so the pytest
+    harness imports it for the single-process control run."""
+    rng = np.random.default_rng(42)
+    return {
+        "data": rng.normal(size=(8, 6)).astype(np.float32),
+        "mask": np.ones((8,), bool),
+        "survival_months": rng.uniform(1, 100, 8).astype(np.float32),
+        "vital_status": (rng.uniform(size=8) < 0.7).astype(np.float32),
+    }
+
+
 def main() -> None:
     process_id, num_processes, coord = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -53,6 +159,8 @@ def main() -> None:
     expected = num_processes * (num_processes + 1) / 2
     np.testing.assert_allclose(jax.device_get(total), expected)
     print(f"MULTIHOST OK pid={process_id} total={float(total)}", flush=True)
+
+    train_step_phase(mesh, process_id)
 
 
 if __name__ == "__main__":

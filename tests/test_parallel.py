@@ -151,11 +151,11 @@ def test_dp_training_step_matches_single_device():
         )
 
 
-def test_two_process_distributed_mesh():
-    """Multi-host smoke test (VERDICT r1 item 9): two OS processes join via
-    jax.distributed (the library's initialize_distributed wrapper,
-    parallel/mesh.py), build one make_mesh spanning both, and run a jitted
-    cross-process reduction. Exercises the DCN path of SURVEY.md §2.2."""
+@pytest.fixture(scope="module")
+def two_process_outputs():
+    """Launch the two jax.distributed worker processes once for this module:
+    they run the cross-process reduction smoke phase AND the production
+    train-step phase, and their stdout is shared by both tests below."""
     import socket
     import subprocess
     import sys
@@ -188,8 +188,64 @@ def test_two_process_distributed_mesh():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return outs
+
+
+def test_two_process_distributed_mesh(two_process_outputs):
+    """Multi-host smoke test (VERDICT r1 item 9): two OS processes join via
+    jax.distributed (the library's initialize_distributed wrapper,
+    parallel/mesh.py), build one make_mesh spanning both, and run a jitted
+    cross-process reduction. Exercises the DCN path of SURVEY.md §2.2."""
+    outs = two_process_outputs
     assert any("MULTIHOST OK pid=0" in o for o in outs), outs
     assert any("MULTIHOST OK pid=1" in o for o in outs), outs
+
+
+def test_two_process_production_train_step(two_process_outputs):
+    """Multi-host TRAINING, not just a reduction: the two-process workers run
+    the production ``build_train_step`` (donation included) on dp-sharded
+    batches placed by ``batch_device_put`` (``host_to_global`` →
+    ``make_array_from_callback`` across processes), with the Cox risk set and
+    gradient psum spanning the process boundary inside jit. Both processes
+    must agree BIT-EXACTLY, and match a single-process control run of the
+    same fixture to float tolerance (collective reduction order may differ)."""
+    import optax
+
+    outs = two_process_outputs
+
+    digests = {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MULTIHOST-TRAIN OK"):
+                pid = int(line.split("pid=")[1].split()[0])
+                digests[pid] = line.split("params=")[1].strip()
+    assert set(digests) == {0, 1}, outs
+    assert digests[0] == digests[1]  # replicated state is bit-identical
+    multihost = np.frombuffer(bytes.fromhex(digests[0]), np.float32)
+
+    # single-process control: same fixture, same seeds, default device
+    from tests._multihost_worker import build_train_fixture, make_worker_batch
+    from multimodalbrainsurvival_tpu.train.loop import build_train_step
+
+    adapter, settings, forward_loss = build_train_fixture()
+    batch = make_worker_batch()
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = adapter.init(
+        jax.random.PRNGKey(0), {"data": jnp.asarray(batch["data"])}
+    )
+    tx = optax.sgd(1e-2)  # matches the worker (see its rationale comment)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    step = build_train_step(settings, tx, forward_loss)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        params, _, opt_state, loss, rng = step(
+            params, None, opt_state, arrays, rng
+        )
+    control = np.concatenate(
+        [np.asarray(leaf).ravel() for leaf in jax.tree.leaves(params)]
+    ).astype(np.float32)
+    np.testing.assert_allclose(multihost, control, rtol=1e-5, atol=1e-6)
 
 
 def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):

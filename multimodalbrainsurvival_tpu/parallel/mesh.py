@@ -78,6 +78,25 @@ def host_to_global(value, sharding: NamedSharding):
     return jax.make_array_from_callback(v.shape, sharding, lambda idx: v[idx])
 
 
+def global_to_host(x) -> np.ndarray:
+    """Host numpy value of a jit output on ANY runtime.
+
+    - fully addressable (single-process, or host-local): plain np.asarray;
+    - replicated across processes: read this host's shard (every device
+      holds the full value; np.asarray would refuse the remote shards);
+    - sharded across processes: ``multihost_utils.process_allgather`` — a
+      COLLECTIVE, so call it from every process at the same point (the
+      train/eval loops are process-symmetric, which is exactly that).
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        return np.asarray(x.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def batch_device_put(mesh: Mesh, *, shard_bag: bool = False):
     """Returns a ``device_put_fn`` for ``TrainSettings``: shards every batch
     array on ``dp`` along axis 0 (and the bag axis on ``mp`` when

@@ -220,7 +220,15 @@ def _drain_losses(pending, running_loss, seen, settings, epoch):
     guard (the reference drops into pdb — models.py:107-109)."""
     if not pending:
         return running_loss, seen
-    values = np.asarray(jnp.stack([loss for loss, _, _ in pending]))
+    first = pending[0][0]
+    if getattr(first, "is_fully_addressable", True):
+        values = np.asarray(jnp.stack([loss for loss, _, _ in pending]))
+    else:
+        # multi-host: step losses are process-spanning global arrays and
+        # eager jnp.stack on them is illegal — fetch each host-side
+        from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
+
+        values = np.asarray([global_to_host(loss) for loss, _, _ in pending])
     for value, (_, bsz, at_step) in zip(values, pending):
         value = float(value)
         if settings.check_numerics and not np.isfinite(value):
@@ -316,7 +324,18 @@ def evaluate(
         # no batches at all (empty split) — nothing to score
         print(f"{split}  | epoch {epoch} | empty split, no evaluation")
         return float("nan"), None, {"loss": float("nan")}
-    losses = np.asarray(jnp.stack(losses))
+    if getattr(losses[0], "is_fully_addressable", True):
+        losses = np.asarray(jnp.stack(losses))
+        outputs = np.asarray(jnp.concatenate(outputs, axis=0))
+    else:
+        # multi-host: per-batch losses are replicated global scalars (local
+        # read) and outputs are dp-sharded across processes (collective
+        # allgather — every process runs this same loop, so the collective
+        # is process-symmetric); eager stack/concatenate on them is illegal
+        from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
+
+        losses = np.asarray([global_to_host(l) for l in losses])
+        outputs = np.concatenate([global_to_host(o) for o in outputs], axis=0)
     if settings.check_numerics and not np.all(np.isfinite(losses)):
         # without this, a NaN batch loss would silently fold into val_loss
         # and corrupt best-checkpoint selection (np.nan < best is False, so
@@ -327,7 +346,6 @@ def evaluate(
             f"batch {bad} at epoch {epoch} (task={settings.task}); "
             f"best-checkpoint selection would be corrupted."
         )
-    outputs = np.asarray(jnp.concatenate(outputs, axis=0))
     outputs = outputs[np.concatenate(masks)]
     # parity: unweighted mean over batch losses, exactly like the reference's
     # evaluate (2_HistoPath_train.py:148, `np.mean(loss_list)`) — the final

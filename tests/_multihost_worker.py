@@ -133,6 +133,47 @@ def make_worker_batch() -> dict:
     }
 
 
+def train_loop_phase(mesh, process_id: int, data_dir: str) -> None:
+    """Run the FULL production train loop (train.loop.train_model — epochs,
+    deferred loss drain, per-epoch evaluate with metrics, early-stop/best
+    bookkeeping) across the processes, exactly as a train CLI drives it, with
+    dp-sharded batches from batch_device_put. Exercises the multi-host fetch
+    paths (_drain_losses / evaluate's global_to_host branches) for real.
+    Prints the per-epoch val losses and a bit-exact digest of the final
+    params; the pytest harness compares against a single-process control."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, train_model,
+    )
+
+    adapter, _, _ = build_train_fixture()
+    ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
+    settings = TrainSettings(
+        num_epochs=2, task="survival_prediction", batch_size=8,
+        log_interval=100, seed=5, eval_splits_during_training=("val",),
+        device_put_fn=batch_device_put(mesh),
+    )
+    last, _, outputs = train_model(
+        adapter, {"train": ds, "val": ds}, optax.sgd(1e-2), settings,
+        rng=jax.random.PRNGKey(2),
+    )
+    from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
+
+    flat = np.concatenate(
+        [global_to_host(leaf).ravel()
+         for leaf in jax.tree.leaves(last["params"])]
+    ).astype(np.float32)
+    print(
+        f"MULTIHOST-LOOP OK pid={process_id} "
+        f"val={outputs['val_metrics_last']['loss']:.6f} "
+        f"params={flat.tobytes().hex()}",
+        flush=True,
+    )
+
+
 def main() -> None:
     process_id, num_processes, coord = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -161,6 +202,8 @@ def main() -> None:
     print(f"MULTIHOST OK pid={process_id} total={float(total)}", flush=True)
 
     train_step_phase(mesh, process_id)
+    if len(sys.argv) > 4:
+        train_loop_phase(mesh, process_id, sys.argv[4])
 
 
 if __name__ == "__main__":

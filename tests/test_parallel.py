@@ -152,13 +152,22 @@ def test_dp_training_step_matches_single_device():
 
 
 @pytest.fixture(scope="module")
-def two_process_outputs():
+def two_process_outputs(tmp_path_factory):
     """Launch the two jax.distributed worker processes once for this module:
-    they run the cross-process reduction smoke phase AND the production
-    train-step phase, and their stdout is shared by both tests below."""
+    they run the cross-process reduction smoke phase, the production
+    train-step phase, and the full train_model loop phase; their stdout is
+    shared by the tests below."""
     import socket
     import subprocess
     import sys
+
+    from tests.helpers import make_survival_csv
+
+    data_dir = tmp_path_factory.mktemp("multihost")
+    make_survival_csv(
+        str(data_dir / "mh.csv"), [f"c{i}" for i in range(16)],
+        n_feature=6, seed=11,
+    )
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -172,7 +181,7 @@ def two_process_outputs():
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", coord],
+            [sys.executable, worker, str(pid), "2", coord, str(data_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -181,14 +190,14 @@ def two_process_outputs():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=360)
             outs.append(out)
             assert p.returncode == 0, out[-2000:]
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    return outs
+    return outs, str(data_dir)
 
 
 def test_two_process_distributed_mesh(two_process_outputs):
@@ -196,7 +205,7 @@ def test_two_process_distributed_mesh(two_process_outputs):
     jax.distributed (the library's initialize_distributed wrapper,
     parallel/mesh.py), build one make_mesh spanning both, and run a jitted
     cross-process reduction. Exercises the DCN path of SURVEY.md §2.2."""
-    outs = two_process_outputs
+    outs, _ = two_process_outputs
     assert any("MULTIHOST OK pid=0" in o for o in outs), outs
     assert any("MULTIHOST OK pid=1" in o for o in outs), outs
 
@@ -211,7 +220,7 @@ def test_two_process_production_train_step(two_process_outputs):
     same fixture to float tolerance (collective reduction order may differ)."""
     import optax
 
-    outs = two_process_outputs
+    outs, _ = two_process_outputs
 
     digests = {}
     for o in outs:
@@ -246,6 +255,51 @@ def test_two_process_production_train_step(two_process_outputs):
         [np.asarray(leaf).ravel() for leaf in jax.tree.leaves(params)]
     ).astype(np.float32)
     np.testing.assert_allclose(multihost, control, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_full_train_loop(two_process_outputs):
+    """The FULL train_model loop across two processes — epochs, deferred
+    loss drain, per-epoch evaluate (metrics + score frame), best/early-stop
+    bookkeeping — via the multi-host fetch paths (global_to_host branches in
+    _drain_losses / evaluate). Both processes must agree bit-exactly and
+    match a single-process control run on the same CSV."""
+    import optax
+
+    from tests._multihost_worker import build_train_fixture
+    from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, train_model,
+    )
+
+    outs, data_dir = two_process_outputs
+    digests, vals = {}, {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MULTIHOST-LOOP OK"):
+                pid = int(line.split("pid=")[1].split()[0])
+                digests[pid] = line.split("params=")[1].strip()
+                vals[pid] = float(line.split("val=")[1].split()[0])
+    assert set(digests) == {0, 1}, outs
+    assert digests[0] == digests[1]
+    multihost = np.frombuffer(bytes.fromhex(digests[0]), np.float32)
+
+    adapter, _, _ = build_train_fixture()
+    ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
+    settings = TrainSettings(
+        num_epochs=2, task="survival_prediction", batch_size=8,
+        log_interval=100, seed=5, eval_splits_during_training=("val",),
+    )
+    last, _, outputs = train_model(
+        adapter, {"train": ds, "val": ds}, optax.sgd(1e-2), settings,
+        rng=jax.random.PRNGKey(2),
+    )
+    control = np.concatenate(
+        [np.asarray(leaf).ravel() for leaf in jax.tree.leaves(last["params"])]
+    ).astype(np.float32)
+    np.testing.assert_allclose(multihost, control, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        vals[0], outputs["val_metrics_last"]["loss"], rtol=1e-5
+    )
 
 
 def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):

@@ -615,18 +615,24 @@ def train_model(
     pending_losses: list = []
 
     def _full_state():
+        # meta scalars are NUMPY, not jnp: orbax refuses host-local
+        # single-device jax.Arrays in a multi-process (jax.distributed)
+        # runtime, while host numpy values serialize in both modes (written
+        # by the primary host) — and the on-disk tensorstore layout is
+        # identical, so old checkpoints restore unchanged
         return {
             "params": params,
             "batch_stats": batch_stats if batch_stats is not None else {},
             "opt_state": opt_state,
             "meta": {
-                "epoch": jnp.int32(state_epoch),
-                "step": jnp.int32(step),
-                "epoch_step": jnp.int32(epoch_step),
-                "best_val_loss": jnp.float32(
-                    best_val_loss if np.isfinite(best_val_loss) else 1e30
+                "epoch": np.asarray(state_epoch, np.int32),
+                "step": np.asarray(step, np.int32),
+                "epoch_step": np.asarray(epoch_step, np.int32),
+                "best_val_loss": np.asarray(
+                    best_val_loss if np.isfinite(best_val_loss) else 1e30,
+                    np.float32,
                 ),
-                "best_epoch": jnp.int32(best_epoch),
+                "best_epoch": np.asarray(best_epoch, np.int32),
                 # the PRNG stream is part of the train state: a resumed run
                 # must consume the SAME dropout/augmentation keys an
                 # uninterrupted run would (resume-exactness is tested)
@@ -636,8 +642,8 @@ def train_model(
                 # the epoch's running logged-loss accumulators, so a mid-epoch
                 # resume's "EPOCH Loss" line covers the WHOLE epoch (not just
                 # post-resume batches) and matches an uninterrupted run
-                "running_loss": jnp.float32(running_loss),
-                "seen": jnp.float32(seen),
+                "running_loss": np.asarray(running_loss, np.float32),
+                "seen": np.asarray(seen, np.float32),
             },
         }
 
@@ -705,17 +711,21 @@ def train_model(
         # tests/test_preemption.py::test_resume_is_elastic_across_mesh_shapes).
         mesh = getattr(settings.device_put_fn, "mesh", None)
         if mesh is not None:
+            from multimodalbrainsurvival_tpu.parallel.mesh import (
+                host_to_global,  # multi-host: no cross-host device_put; each
+            )  # process re-places its shards from its (identical) restore
             from multimodalbrainsurvival_tpu.parallel.sharding import (
                 replicated_shardings,
             )
 
-            params, opt_state = jax.device_put(
-                (params, opt_state),
+            params, opt_state = jax.tree.map(
+                host_to_global, (params, opt_state),
                 replicated_shardings((params, opt_state), mesh),
             )
             if batch_stats is not None:
-                batch_stats = jax.device_put(
-                    batch_stats, replicated_shardings(batch_stats, mesh)
+                batch_stats = jax.tree.map(
+                    host_to_global, batch_stats,
+                    replicated_shardings(batch_stats, mesh),
                 )
         step = int(restored["meta"]["step"])
         best_val_loss = float(restored["meta"]["best_val_loss"])
@@ -726,11 +736,14 @@ def train_model(
         if restored_rng is not None:
             rng = jnp.asarray(restored_rng)
             if mesh is not None:  # committed to device 0 by the restore, like
+                from multimodalbrainsurvival_tpu.parallel.mesh import (
+                    host_to_global,  # params above — re-place on the mesh
+                )
                 from multimodalbrainsurvival_tpu.parallel.sharding import (
-                    replicated_shardings,  # params above — re-place on the mesh
+                    replicated_shardings,
                 )
 
-                rng = jax.device_put(rng, replicated_shardings(rng, mesh))
+                rng = host_to_global(rng, replicated_shardings(rng, mesh))
         resumed_epoch_step = int(restored["meta"].get("epoch_step", 0))
         if resumed_epoch_step > 0:
             # mid-epoch (preemption) checkpoint: re-enter the SAME epoch and

@@ -174,6 +174,53 @@ def train_loop_phase(mesh, process_id: int, data_dir: str) -> None:
     )
 
 
+def checkpoint_phase(mesh, process_id: int, data_dir: str) -> None:
+    """Multi-host checkpoint/resume: train 1 epoch with a SHARED save_dir
+    (orbax coordinates the collective save across the jax.distributed
+    runtime — both processes call save on the same path), then a second
+    train_model with resume=True continues to epoch 2. Prints the resumed
+    run's final-params digest; the pytest harness compares it against a
+    single-process STRAIGHT 2-epoch control, proving the multi-host
+    save→restore round-trip preserves training exactly."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put
+    from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, train_model,
+    )
+
+    ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
+    save_dir = os.path.join(data_dir, "mh_ckpt")
+
+    def settings(num_epochs, resume):
+        return TrainSettings(
+            num_epochs=num_epochs, task="survival_prediction", batch_size=8,
+            log_interval=100, seed=5, eval_splits_during_training=("val",),
+            device_put_fn=batch_device_put(mesh), save_dir=save_dir,
+            resume=resume,
+        )
+
+    adapter, _, _ = build_train_fixture()
+    train_model(adapter, {"train": ds, "val": ds}, optax.sgd(1e-2),
+                settings(1, False), rng=jax.random.PRNGKey(2))
+
+    adapter, _, _ = build_train_fixture()
+    last, _, _ = train_model(adapter, {"train": ds, "val": ds},
+                             optax.sgd(1e-2), settings(2, True),
+                             rng=jax.random.PRNGKey(2))
+    flat = np.concatenate(
+        [global_to_host(leaf).ravel()
+         for leaf in jax.tree.leaves(last["params"])]
+    ).astype(np.float32)
+    print(
+        f"MULTIHOST-CKPT OK pid={process_id} "
+        f"params={flat.tobytes().hex()}",
+        flush=True,
+    )
+
+
 def main() -> None:
     process_id, num_processes, coord = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -204,6 +251,7 @@ def main() -> None:
     train_step_phase(mesh, process_id)
     if len(sys.argv) > 4:
         train_loop_phase(mesh, process_id, sys.argv[4])
+        checkpoint_phase(mesh, process_id, sys.argv[4])
 
 
 if __name__ == "__main__":

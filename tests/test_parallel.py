@@ -302,6 +302,27 @@ def test_two_process_full_train_loop(two_process_outputs):
     )
 
 
+def test_two_process_checkpoint_resume(two_process_outputs):
+    """Multi-host checkpoint/resume: the workers train 1 epoch with a SHARED
+    save_dir (orbax coordinates the collective save over jax.distributed),
+    then resume to epoch 2. The resumed run's final params must be
+    BIT-IDENTICAL to the workers' own straight 2-epoch run
+    (MULTIHOST-LOOP) — the save→restore→re-place round-trip loses nothing."""
+    outs, _ = two_process_outputs
+    loop_digest, ckpt_digests = None, {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MULTIHOST-LOOP OK"):
+                loop_digest = line.split("params=")[1].strip()
+            if line.startswith("MULTIHOST-CKPT OK"):
+                pid = int(line.split("pid=")[1].split()[0])
+                ckpt_digests[pid] = line.split("params=")[1].strip()
+    assert set(ckpt_digests) == {0, 1}, outs
+    assert ckpt_digests[0] == ckpt_digests[1]
+    assert loop_digest is not None
+    assert ckpt_digests[0] == loop_digest
+
+
 def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):
     """benchmarks/weak_scaling.py (the ready-to-run multi-chip proof harness,
     VERDICT r2 #9) must keep working in its virtual-device validation mode:

@@ -59,6 +59,26 @@ def load_config(args) -> tuple[Config, str, str, str]:
         # but typo'd or since-removed keys (e.g. steps_per_dispatch) should
         # never be silently ignored
         print(f"config: ignoring unrecognized keys: {', '.join(unknown)}")
+    # reference device-select parity (2_HistoPath_train.py:457: use_cuda
+    # false → torch CPU): an explicit false routes this run to host CPU.
+    # Config-value check only — reading the backend here would initialize
+    # (and on this platform, CLAIM) the accelerator we're opting out of.
+    use_cuda = config.get("use_cuda", None)
+    if use_cuda is not None and not use_cuda:
+        import jax
+
+        if jax.config.jax_platforms != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+    # `mesh: {"distributed": true}`: join the multi-host runtime NOW —
+    # jax.distributed.initialize must run before anything (dataset probes,
+    # model init) touches the XLA backend; make_device_put then builds the
+    # process-spanning mesh
+    if (config.get("mesh") or {}).get("distributed"):
+        from multimodalbrainsurvival_tpu.parallel.mesh import (
+            initialize_from_env,
+        )
+
+        initialize_from_env()
     cache_dir = config.get("compile_cache_dir", "")
     if cache_dir:
         enable_compile_cache(cache_dir)
@@ -80,6 +100,12 @@ def experiment_dirs(checkpoint_path: str, flag: str) -> tuple[str, str]:
 
 def make_writer(log: bool, summary_path: str, flag: str, config: Config):
     if not log:
+        return None
+    import jax
+
+    if jax.process_index() != 0:
+        # multi-host: metric streams are identical on every process — only
+        # the primary writes (same convention as the output-frame CSVs)
         return None
     d = os.path.join(
         summary_path,
@@ -199,10 +225,29 @@ def early_stop_kwargs(config: Config) -> dict:
 def make_device_put(config: Config):
     """``mesh: {"dp": N, "mp": M}`` in the config shards every batch over a
     device mesh (``parallel/``); absent or dp*mp == 1 → single-device (None).
+
+    ``mesh: {"distributed": true}`` additionally joins the multi-host
+    runtime first (``parallel/mesh.initialize_from_env``: explicit
+    ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    env vars, or TPU-pod auto-detection), so the SAME train CLI command
+    runs on every host of a pod and the mesh spans them all — proven
+    end-to-end by ``tests/test_multihost_cli.py``.
     """
     spec = config.get("mesh")
     if not spec:
         return None
+    if spec.get("distributed"):
+        import jax
+
+        from multimodalbrainsurvival_tpu.parallel.mesh import (
+            initialize_from_env,
+        )
+
+        initialize_from_env()
+        print(
+            f"joined distributed runtime: process {jax.process_index()} "
+            f"of {jax.process_count()}"
+        )
     dp = int(spec.get("dp", 0)) or None
     mp = int(spec.get("mp", 1))
     shard_bag = bool(spec.get("shard_bag", False))

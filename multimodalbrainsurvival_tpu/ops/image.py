@@ -35,7 +35,11 @@ import jax.numpy as jnp
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
-_GRAY_W = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# ITU-R 601 luma weights (torchvision rgb_to_grayscale). A plain tuple, NOT
+# a module-level jnp.array: creating a device array at import time
+# initializes the XLA backend, which breaks `jax.distributed.initialize`
+# (multi-host CLIs must join the runtime before any backend touch).
+_GRAY_W = (0.299, 0.587, 0.114)
 
 
 def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
@@ -75,7 +79,9 @@ def hsv_to_rgb(hsv: jax.Array) -> jax.Array:
 
 
 def _grayscale(img: jax.Array) -> jax.Array:
-    return jnp.einsum("...c,c->...", img, _GRAY_W.astype(img.dtype))
+    return jnp.einsum(
+        "...c,c->...", img, jnp.asarray(_GRAY_W, img.dtype)
+    )
 
 
 def color_jitter(

@@ -39,6 +39,37 @@ def initialize_distributed(**kwargs) -> None:
         jax.distributed.initialize(**kwargs)
 
 
+def initialize_from_env() -> None:
+    """Join the distributed runtime for a CLI run (``mesh: {"distributed":
+    true}``): explicit coordination env vars when present
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` — how a scheduler or the two-process CLI test wires
+    workers up), otherwise bare ``jax.distributed.initialize()`` so TPU-pod
+    auto-detection does the rest. Idempotent across repeat calls in one
+    process."""
+    import os
+
+    global _env_initialized
+    if _env_initialized:
+        return
+    kwargs = {}
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # tolerate an externally-initialized runtime
+        if "already" not in str(e).lower():
+            raise
+    _env_initialized = True
+
+
+_env_initialized = False
+
+
 def make_mesh(
     dp: int | None = None, mp: int = 1, *, devices=None
 ) -> Mesh:

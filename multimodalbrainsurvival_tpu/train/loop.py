@@ -1056,7 +1056,9 @@ def train_model(
             outputs[f"{split}_output_{tag}"] = frame
             outputs[f"{split}_metrics_{tag}"] = mets
 
-    if settings.output_dir:
+    # multi-host: every process computes identical frames (evaluate gathers
+    # globally) — only the primary writes them, avoiding shared-FS races
+    if settings.output_dir and jax.process_index() == 0:
         os.makedirs(settings.output_dir, exist_ok=True)
         for name, frame in outputs.items():
             if name.endswith(("_last", "_best")) and frame is not None and not isinstance(frame, dict):

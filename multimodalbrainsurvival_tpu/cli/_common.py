@@ -61,19 +61,35 @@ def load_config(args) -> tuple[Config, str, str, str]:
         print(f"config: ignoring unrecognized keys: {', '.join(unknown)}")
     # reference device-select parity (2_HistoPath_train.py:457: use_cuda
     # false → torch CPU): an explicit false routes this run to host CPU.
+    # A reference quirk, so gated behind reference_parity (CLAUDE.md rule);
+    # loud, because the reference's shipped EarlyFusion configs set false
+    # and silently training on host CPU is an order-of-magnitude surprise.
     # Config-value check only — reading the backend here would initialize
     # (and on this platform, CLAIM) the accelerator we're opting out of.
     use_cuda = config.get("use_cuda", None)
-    if use_cuda is not None and not use_cuda:
+    if use_cuda is not None and not use_cuda and config.reference_parity:
         import jax
 
         if jax.config.jax_platforms != "cpu":
             jax.config.update("jax_platforms", "cpu")
+        print(
+            "use_cuda: false -> running on host CPU (reference device-select "
+            "parity, 2_HistoPath_train.py:457; set use_cuda: true or "
+            "reference_parity: false to use the accelerator)"
+        )
     # `mesh: {"distributed": true}`: join the multi-host runtime NOW —
     # jax.distributed.initialize must run before anything (dataset probes,
     # model init) touches the XLA backend; make_device_put then builds the
     # process-spanning mesh
     if (config.get("mesh") or {}).get("distributed"):
+        if not config.get("flag"):
+            # the timestamp fallback below is per-process wall clock: hosts
+            # would compute different save_dir/output_dir and the COLLECTIVE
+            # orbax checkpoint would diverge across processes
+            raise SystemExit(
+                "distributed runs need an explicit 'flag' in the config "
+                "(the timestamp fallback differs across hosts)"
+            )
         from multimodalbrainsurvival_tpu.parallel.mesh import (
             initialize_from_env,
         )

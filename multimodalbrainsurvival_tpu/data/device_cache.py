@@ -124,6 +124,16 @@ class DeviceCachedPatchBags:
         self.mesh = mesh
         self.shard_bag = bool(shard_bag and mesh is not None)
         self._rng = np.random.default_rng(0)
+        if jax.process_count() > 1:
+            # the cache's shard_map assembly and its index uploads are
+            # single-host machinery; under a multi-process runtime
+            # (mesh: {"distributed": true}) use the host loader path, which
+            # places batches per process via batch_device_put/host_to_global
+            raise NotImplementedError(
+                "cache_patches_on_device is a single-host optimization; "
+                "multi-host runs must use the host loader (drop the "
+                "cache_patches_on_device config key)"
+            )
         if self.shard_bag and base.bag_size % mesh.shape.get("mp", 1):
             raise ValueError(
                 f"shard_bag cache needs bag_size ({base.bag_size}) divisible "

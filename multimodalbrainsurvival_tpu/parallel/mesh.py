@@ -49,25 +49,21 @@ def initialize_from_env() -> None:
     process."""
     import os
 
-    global _env_initialized
-    if _env_initialized:
-        return
+    if jax.distributed.is_initialized():
+        return  # externally joined (a launcher, or an earlier call) — done
     kwargs = {}
-    if "JAX_COORDINATOR_ADDRESS" in os.environ:
-        kwargs = dict(
-            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
-    try:
-        jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:  # tolerate an externally-initialized runtime
-        if "already" not in str(e).lower():
-            raise
-    _env_initialized = True
-
-
-_env_initialized = False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs["coordinator_address"] = addr
+        # partial env wiring is honest: initialize() auto-detects whatever
+        # is omitted from the cluster environment where it can
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if n is not None:
+            kwargs["num_processes"] = int(n)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(

@@ -207,10 +207,14 @@ def make_loss_fn(settings: TrainSettings):
 
 
 def _device_arrays(batch: dict, keys: tuple, device_put_fn=None) -> dict:
-    arrays = {k: jnp.asarray(batch[k]) for k in keys}
     if device_put_fn is not None:
-        arrays = device_put_fn(arrays)
-    return arrays
+        # hand the loader's host arrays straight to the placement function:
+        # a jnp.asarray first would upload the FULL batch to the default
+        # device only to re-place it (and under a multi-process mesh, pay a
+        # blocking device→host sync of the whole batch before uploading the
+        # local shard)
+        return device_put_fn({k: batch[k] for k in keys})
+    return {k: jnp.asarray(batch[k]) for k in keys}
 
 
 def _drain_losses(pending, running_loss, seen, settings, epoch):
@@ -224,11 +228,14 @@ def _drain_losses(pending, running_loss, seen, settings, epoch):
     if getattr(first, "is_fully_addressable", True):
         values = np.asarray(jnp.stack([loss for loss, _, _ in pending]))
     else:
-        # multi-host: step losses are process-spanning global arrays and
-        # eager jnp.stack on them is illegal — fetch each host-side
+        # multi-host: step losses are process-spanning global arrays; eager
+        # jnp.stack on them is illegal, but a JITTED stack is — so the whole
+        # backlog still drains with ONE device sync, like the branch above
         from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
 
-        values = np.asarray([global_to_host(loss) for loss, _, _ in pending])
+        values = global_to_host(
+            jax.jit(jnp.stack)([loss for loss, _, _ in pending])
+        )
     for value, (_, bsz, at_step) in zip(values, pending):
         value = float(value)
         if settings.check_numerics and not np.isfinite(value):
@@ -328,14 +335,18 @@ def evaluate(
         losses = np.asarray(jnp.stack(losses))
         outputs = np.asarray(jnp.concatenate(outputs, axis=0))
     else:
-        # multi-host: per-batch losses are replicated global scalars (local
-        # read) and outputs are dp-sharded across processes (collective
-        # allgather — every process runs this same loop, so the collective
-        # is process-symmetric); eager stack/concatenate on them is illegal
+        # multi-host: per-batch losses are replicated global scalars and
+        # outputs are dp-sharded across processes. Eager stack/concatenate
+        # on non-addressable arrays is illegal, but JITTED ones are — so the
+        # split still fetches with ONE local read (losses) plus ONE
+        # process-symmetric allgather (outputs; every process runs this
+        # same loop, which is what makes the collective legal)
         from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
 
-        losses = np.asarray([global_to_host(l) for l in losses])
-        outputs = np.concatenate([global_to_host(o) for o in outputs], axis=0)
+        losses = global_to_host(jax.jit(jnp.stack)(losses))
+        outputs = global_to_host(
+            jax.jit(partial(jnp.concatenate, axis=0))(outputs)
+        )
     if settings.check_numerics and not np.all(np.isfinite(losses)):
         # without this, a NaN batch loss would silently fold into val_loss
         # and corrupt best-checkpoint selection (np.nan < best is False, so
@@ -798,7 +809,25 @@ def train_model(
     preempt_flag = threading.Event()
     prev_handler = None
     handler_installed = False
-    if ckpt is not None and settings.emergency_checkpoint:
+    if (
+        ckpt is not None
+        and settings.emergency_checkpoint
+        and jax.process_count() > 1
+    ):
+        # Signal-driven preemption is SINGLE-HOST machinery: the emergency
+        # save is a blocking COLLECTIVE over jax.distributed, and a SIGTERM
+        # that reaches only one host (or reaches hosts at skewed step
+        # boundaries) would have that host waiting on the checkpoint
+        # barrier while its peers wait on the next train step's collectives
+        # — a mutual deadlock until SIGKILL. Multi-host runs rely on the
+        # per-epoch boundary checkpoints (collective, symmetric) for
+        # resume; the deterministic preempt_after_steps test hook remains
+        # active because every process triggers it at the same step.
+        print(
+            "multi-host run: signal-driven emergency checkpointing disabled "
+            "(per-epoch boundary checkpoints provide resume)"
+        )
+    elif ckpt is not None and settings.emergency_checkpoint:
         def _on_preempt_signal(signum, frame):
             preempt_flag.set()
             print(

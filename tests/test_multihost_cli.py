@@ -64,6 +64,28 @@ def _config(root, flag, mesh):
     return str(path)
 
 
+def test_distributed_requires_explicit_flag(cohort, tmp_path):
+    """No `flag` + distributed must fail loudly BEFORE joining the runtime:
+    the timestamp fallback is per-process wall clock, so hosts would compute
+    different experiment dirs and the collective checkpoint would diverge."""
+    from multimodalbrainsurvival_tpu.cli.feature_train import main
+
+    root = cohort
+    cfg = {
+        "batch_size": 8, "use_cuda": False,
+        "train_csv_path": str(root / "train.csv"),
+        "val_csv_path": str(root / "val.csv"),
+        "test_csv_path": str(root / "test.csv"),
+        "num_epochs": 1, "lr": 1e-3, "weight_decay": 1e-5,
+        "checkpoint_path": str(tmp_path / "out"),
+        "mesh": {"dp": 1, "distributed": True},
+    }
+    path = tmp_path / "noflag.json"
+    path.write_text(json.dumps(cfg))
+    with pytest.raises(SystemExit, match="explicit 'flag'"):
+        main(["--config", str(path), "--seed", "7", "--log", "0"])
+
+
 def test_feature_train_cli_two_processes(cohort):
     root = cohort
     cfg = _config(root, "mh", {"dp": 2, "distributed": True})

@@ -28,6 +28,12 @@ four trainable pipelines:
   ``ops.metrics.survival_ci`` implementation, like every driver) plus
   mean +/- std across folds, printed and written to
   ``<checkpoint_path>/cv_summary.csv``.
+- **Fold ensemble**: when the base config pins a fixed ``test_csv_path``,
+  the K fold models' test scores are averaged per case (the standard CV
+  committee deployment the reference leaves to the user) into
+  ``<checkpoint_path>/cv_ensemble_test_df.csv`` — savescore frame schema,
+  so ``evaluate_scores``/``merge_scores`` consume it unchanged — and the
+  ensemble C-index is printed.
 
 Config keys: ``cv_csv_path`` (optional single-cohort CSV), ``cv_folds``
 (overrides ``--folds``, config-over-args like the reference's flag
@@ -112,8 +118,8 @@ def assign_folds(df: pd.DataFrame, k: int, seed: int) -> dict[str, int]:
     return fold_of
 
 
-def _fold_ci(output_dir: str, flag_k: str, split: str):
-    """C-index of one fold's saved ``<split>`` score frame, or None when the
+def _fold_frame(output_dir: str, flag_k: str, split: str):
+    """One fold's saved ``<split>`` survival score frame, or None when the
     task wrote no survival frame (classification) or skipped the split."""
     pattern = os.path.join(output_dir, f"*_{split}_*{flag_k}*_df.csv")
     matches = sorted(glob.glob(pattern))
@@ -123,6 +129,10 @@ def _fold_ci(output_dir: str, flag_k: str, split: str):
     need = {"score", "survival_months", "vital_status"}
     if not need.issubset(frame.columns):
         return None
+    return frame
+
+
+def _frame_ci(frame: pd.DataFrame) -> float:
     from multimodalbrainsurvival_tpu.ops.metrics import survival_ci
 
     ci, _ = survival_ci(
@@ -132,6 +142,39 @@ def _fold_ci(output_dir: str, flag_k: str, split: str):
         frame["vital_status"].to_numpy(),
     )
     return float(ci)
+
+
+def _fold_ci(output_dir: str, flag_k: str, split: str):
+    """C-index of one fold's saved ``<split>`` score frame, or None."""
+    frame = _fold_frame(output_dir, flag_k, split)
+    return None if frame is None else _frame_ci(frame)
+
+
+def ensemble_frames(frames: list) -> pd.DataFrame:
+    """Average the fold models' risk scores per case — the standard way a
+    K-fold CV committee is deployed on a held-out cohort.
+
+    The reference stops at per-fold score frames (``3_HistoPath_savescore.py:
+    344-349`` writes ``..._cv{k}_df.csv`` and leaves combination to the
+    user); this completes the protocol. Cases are inner-joined on ``id``
+    (a case missing from any fold's frame is dropped — every fold must have
+    voted), ``score`` is the across-fold mean, and the survival labels come
+    from the first frame (constant per case by construction). The result has
+    the exact savescore frame schema, so ``evaluate_scores`` /
+    ``merge_scores`` consume it unchanged.
+    """
+    if not frames:
+        raise ValueError("no fold frames to ensemble")
+    base = frames[0][["id", "survival_months", "vital_status"]]
+    scores = None
+    for k, frame in enumerate(frames):
+        one = frame[["id", "score"]].rename(columns={"score": f"s{k}"})
+        scores = one if scores is None else scores.merge(one, on="id",
+                                                         how="inner")
+    score_cols = [c for c in scores.columns if c != "id"]
+    out = scores.merge(base, on="id", how="inner")
+    out["score"] = out[score_cols].mean(axis=1)
+    return out[["id", "score", "survival_months", "vital_status"]]
 
 
 def main(argv=None):
@@ -219,6 +262,28 @@ def main(argv=None):
     out = os.path.join(checkpoint_path, "cv_summary.csv")
     summary.to_csv(out, index=False)
     print(f"wrote {out}")
+
+    # Fold-ensemble deployment: when the base config pins a test split that
+    # stays FIXED across folds, average every fold model's test scores per
+    # case and report the committee's C-index. (The per-fold val splits are
+    # disjoint cohorts — averaging them would be meaningless.)
+    if not args.no_savescore and config.get("test_csv_path"):
+        frames = [f for f in (
+            _fold_frame(os.path.join(checkpoint_path, "outputs",
+                                     f"{flag}_cv{j + 1}"),
+                        f"{flag}_cv{j + 1}", "test")
+            for j in range(k)) if f is not None]
+        if frames and len(frames) == k:
+            ens = ensemble_frames(frames)
+            if len(ens) < max(len(f) for f in frames):
+                print(f"ensemble dropped {max(len(f) for f in frames) - len(ens)} "
+                      "cases missing from some fold's frame")
+            ens_out = os.path.join(checkpoint_path, "cv_ensemble_test_df.csv")
+            ens.to_csv(ens_out, index=False)
+            ci = _frame_ci(ens)
+            print(f"CV ensemble test CI: {ci:.4f} over {len(ens)} cases "
+                  f"({k} fold models averaged)")
+            print(f"wrote {ens_out}")
 
 
 if __name__ == "__main__":

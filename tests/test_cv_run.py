@@ -113,6 +113,41 @@ def test_cv_run_feature_end_to_end(tmp_path, capsys):
     }
     assert n_test_rows == {6}
 
+    # fold-ensemble deployment: per-case mean of the fold models' test
+    # scores, written in the savescore frame schema, CI printed
+    assert "CV ensemble test CI:" in out
+    ens = pd.read_csv(tmp_path / "out/cv_ensemble_test_df.csv")
+    assert list(ens.columns) == ["id", "score", "survival_months",
+                                 "vital_status"]
+    folds = [pd.read_csv(sorted(glob.glob(
+        str(tmp_path / "out/outputs" / f"ef_cv{k}" / "*test_*_df.csv")))[0])
+        for k in (1, 2)]
+    merged = folds[0].merge(folds[1], on="id", suffixes=("_1", "_2"))
+    want = merged.set_index("id")[["score_1", "score_2"]].mean(axis=1)
+    got = ens.set_index("id")["score"]
+    assert sorted(ens["id"]) == sorted(merged["id"])
+    np.testing.assert_allclose(got[want.index], want, rtol=1e-12)
+
+
+def test_ensemble_frames_inner_join_and_mean():
+    from multimodalbrainsurvival_tpu.cli.cv_run import ensemble_frames
+
+    f1 = pd.DataFrame({"id": ["a", "b", "c"], "score": [1.0, 2.0, 3.0],
+                       "survival_months": [10, 20, 30],
+                       "vital_status": [1, 0, 1]})
+    f2 = pd.DataFrame({"id": ["b", "a"], "score": [4.0, 5.0],
+                       "survival_months": [20, 10],
+                       "vital_status": [0, 1]})
+    ens = ensemble_frames([f1, f2])
+    # inner join: 'c' never got a vote from fold 2 → dropped
+    assert sorted(ens["id"]) == ["a", "b"]
+    by_id = ens.set_index("id")
+    assert by_id.loc["a", "score"] == 3.0  # (1+5)/2
+    assert by_id.loc["b", "score"] == 3.0  # (2+4)/2
+    # labels ride along from the first frame
+    assert by_id.loc["a", "survival_months"] == 10
+    assert by_id.loc["b", "vital_status"] == 0
+
 
 def _make_cv_cohort(tmp_path, n_cases=8, n_rna=16):
     """One cohort CSV with BOTH patch dirs and RNA columns, so the histo and

@@ -75,6 +75,9 @@ histo_cfg = {"model_name":"resnet18","num_classes":1,"batch_size":6,"use_cuda":F
   "max_patch_per_wsi_train":8,"max_patch_per_wsi_val":8,
   "checkpoint_path":"ffpe_out/","summary_path":"ffpe_out/summary/","model_path":"","restore_path":""}
 json.dump(histo_cfg, open("config_ffpe_train.json","w"))
+from multimodalbrainsurvival_tpu.cli import validate_data
+assert validate_data.main(['--config','config_ffpe_train.json','--task','histo']) == 0
+lap("cohort validated")
 histo_train.main(['--config','config_ffpe_train.json'])
 lap("histo trained")
 

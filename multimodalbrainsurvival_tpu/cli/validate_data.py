@@ -20,8 +20,10 @@ Checks, per split CSV (``{train,val,test}_csv_path``):
 - label sanity: NaN labels, negative survival months, non-{0,1} vital
   status, non-integer survival bins;
 - modality columns: ``rna_``/``feature_`` column count (and, for RNA,
-  order/width vs the gene vocabulary when one is available —
-  ``data/genes.py``), NaN/non-finite values in the modality matrix;
+  order/width vs the gene vocabulary — ``data/genes.py``; an explicit
+  ``--genes`` file is a contract and mismatches are errors, the implicit
+  reference default is advisory and mismatches warn), NaN/non-finite
+  values in the modality matrix;
 - histo/joint: every ``wsi_file_name``'s patch directory exists with a
   ``loc.txt``, the PNGs (or packed ``patches.npy``) the loc count promises
   are actually on disk, and slides whose usable patch count falls below
@@ -106,7 +108,7 @@ def _check_labels(df: pd.DataFrame, split: str, task: str, target_label: str,
 
 
 def _check_modality(df: pd.DataFrame, split: str, prefix: str, vocab,
-                    rep: Report) -> None:
+                    rep: Report, *, vocab_strict: bool = True) -> None:
     cols = [c for c in df.columns if prefix in c]
     if not cols:
         rep.error(f"{split}: no '{prefix}' columns found")
@@ -118,8 +120,12 @@ def _check_modality(df: pd.DataFrame, split: str, prefix: str, vocab,
                   f"{len(cols)} '{prefix}' columns")
     if vocab is not None and prefix == "rna_":
         if len(cols) != len(vocab):
-            rep.error(f"{split}: {len(cols)} 'rna_' columns but the gene "
-                      f"vocabulary defines {len(vocab)} genes")
+            # an explicit --genes vocabulary is a contract (error); the
+            # implicit reference default is advisory for non-reference
+            # cohorts (warn)
+            report = rep.error if vocab_strict else rep.warn
+            report(f"{split}: {len(cols)} 'rna_' columns but the gene "
+                   f"vocabulary defines {len(vocab)} genes")
         else:
             syms = [c.split("rna_", 1)[-1] for c in cols]
             mismatched = sum(1 for s, v in zip(syms, vocab.symbols) if s != v)
@@ -225,7 +231,8 @@ def main(argv=None) -> int:
         if "case" in df.columns:
             cases[split] = set(df["case"].astype(str))
         if args.task in ("rna", "joint"):
-            _check_modality(df, split, "rna_", vocab, rep)
+            _check_modality(df, split, "rna_", vocab, rep,
+                            vocab_strict=bool(args.genes))
         if args.task == "feature":
             _check_modality(df, split, "feature_", None, rep)
         if args.task in ("histo", "joint"):

@@ -102,13 +102,30 @@ def test_rna_vocabulary_width_and_order(tmp_path, capsys):
     assert rc == 0
     assert "out of vocabulary order" in out
 
-    # wrong width → error
+    # wrong width with an EXPLICIT --genes → error
     genes.write_text("i,symbol\n0,g0\n1,g1\n")
     rc = validate_data.main(["--config", _cfg(tmp_path), "--task", "rna",
                              "--genes", str(genes)])
     out = capsys.readouterr().out
     assert rc == 1
     assert "gene vocabulary defines 2 genes" in out
+
+
+def test_default_reference_vocab_mismatch_is_advisory(tmp_path, capsys):
+    """Without --genes the reference's 12,778-gene vocabulary is implicit:
+    a non-reference-shaped cohort should warn, not fail."""
+    from multimodalbrainsurvival_tpu.data.genes import REFERENCE_GENES_TXT
+
+    if not os.path.isfile(REFERENCE_GENES_TXT):
+        import pytest
+
+        pytest.skip("reference genes.txt not present")
+    _three_splits(tmp_path, n_rna=5)
+    rc = validate_data.main(["--config", _cfg(tmp_path), "--task", "rna"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "gene vocabulary defines 12778 genes" in out
+    assert "WARN" in out
 
 
 def test_histo_patch_directory_contracts(tmp_path, capsys):

@@ -28,6 +28,12 @@ four trainable pipelines:
   ``ops.metrics.survival_ci`` implementation, like every driver) plus
   mean +/- std across folds, printed and written to
   ``<checkpoint_path>/cv_summary.csv``.
+- **Out-of-fold frame**: the fold val frames concatenate into
+  ``<checkpoint_path>/cv_oof_val_df.csv`` — every case scored once by the
+  model that never trained on it, with the pooled OOF C-index printed.
+  This is the leak-free per-case score frame the late-fusion stage should
+  train on (feed it to ``merge_scores``/``late_fusion`` in place of a
+  train-split frame).
 - **Fold ensemble**: when the base config pins a fixed ``test_csv_path``,
   the K fold models' test scores are averaged per case (the standard CV
   committee deployment the reference leaves to the user) into
@@ -262,6 +268,28 @@ def main(argv=None):
     out = os.path.join(checkpoint_path, "cv_summary.csv")
     summary.to_csv(out, index=False)
     print(f"wrote {out}")
+
+    # Out-of-fold frame: the fold val splits partition the cohort, so
+    # concatenating them scores every case exactly once by the one model
+    # that never saw it — the leak-free score frame a downstream
+    # merge_scores -> late_fusion stage should train on.
+    if not args.no_savescore:
+        val_frames = [f for f in (
+            _fold_frame(os.path.join(checkpoint_path, "outputs",
+                                     f"{flag}_cv{j + 1}"),
+                        f"{flag}_cv{j + 1}", "val")
+            for j in range(k)) if f is not None]
+        if val_frames and len(val_frames) == k:
+            oof = pd.concat(val_frames, ignore_index=True)
+            dup = oof["id"].duplicated()
+            if dup.any():  # can't happen with assign_folds' partition
+                print(f"warning: {int(dup.sum())} duplicate cases across "
+                      "fold val frames")
+            oof_out = os.path.join(checkpoint_path, "cv_oof_val_df.csv")
+            oof.to_csv(oof_out, index=False)
+            print(f"CV out-of-fold val CI: {_frame_ci(oof):.4f} over "
+                  f"{len(oof)} cases (pooled across {k} folds)")
+            print(f"wrote {oof_out}")
 
     # Fold-ensemble deployment: when the base config pins a test split that
     # stays FIXED across folds, average every fold model's test scores per

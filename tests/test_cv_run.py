@@ -113,6 +113,20 @@ def test_cv_run_feature_end_to_end(tmp_path, capsys):
     }
     assert n_test_rows == {6}
 
+    # out-of-fold frame: the fold val frames partition the cohort — every
+    # case appears exactly once, scored by the model that never saw it
+    assert "CV out-of-fold val CI:" in out
+    oof = pd.read_csv(tmp_path / "out/cv_oof_val_df.csv")
+    assert sorted(oof["id"]) == sorted(cases)
+    assert not oof["id"].duplicated().any()
+    fold_vals = pd.concat([
+        pd.read_csv(sorted(glob.glob(str(
+            tmp_path / "out/outputs" / f"ef_cv{k}" / f"*val_ef_cv{k}_df.csv"
+        )))[0]) for k in (1, 2)], ignore_index=True)
+    merged_oof = oof.merge(fold_vals, on="id", suffixes=("", "_fold"))
+    np.testing.assert_allclose(merged_oof["score"],
+                               merged_oof["score_fold"], rtol=1e-12)
+
     # fold-ensemble deployment: per-case mean of the fold models' test
     # scores, written in the savescore frame schema, CI printed
     assert "CV ensemble test CI:" in out

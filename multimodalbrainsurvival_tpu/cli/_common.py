@@ -229,6 +229,32 @@ def tune_optimizer(tx, config: Config, n_train: int, *, num_epochs: int,
     )
 
 
+def observability_kwargs(config: Config, save_dir: str) -> dict:
+    """TrainSettings kwargs for the config-driven observability knobs
+    (SURVEY.md §5 "tracing / profiling" — first-class on TPU because
+    profiles, not intuition, drive the perf work in docs/DESIGN.md):
+
+    - ``profile_steps``: capture a ``jax.profiler`` trace of that many train
+      steps (after warmup) — viewable with TensorBoard / xprof;
+    - ``profile_dir``: where the trace lands (default
+      ``<save_dir>/jax_trace`` so each experiment keeps its own);
+    - ``debug_checkify``: op-level NaN/div localization via
+      ``jax.experimental.checkify`` (slow; names the first offending
+      primitive instead of just "loss is NaN");
+    - ``donate_state``: off-switch for buffer donation (debugging aid —
+      donation is numerics-neutral but changes buffer lifetimes).
+    """
+    steps = int(config.get("profile_steps", 0))
+    return {
+        "profile_steps": steps,
+        "profile_dir": str(
+            config.get("profile_dir", "")
+            or os.path.join(save_dir, "jax_trace")),
+        "debug_checkify": bool(config.get("debug_checkify", False)),
+        "donate_state": bool(config.get("donate_state", True)),
+    }
+
+
 def early_stop_kwargs(config: Config) -> dict:
     """TrainSettings kwargs for the opt-in early-stopping knobs (TPU-native
     extension; see TrainSettings.early_stop_patience)."""

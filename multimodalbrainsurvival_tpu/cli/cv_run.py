@@ -289,6 +289,9 @@ def main(argv=None):
             oof.to_csv(oof_out, index=False)
             print(f"CV out-of-fold val CI: {_frame_ci(oof):.4f} over "
                   f"{len(oof)} cases (pooled across {k} folds)")
+            print("  note: Cox risk scores are rank-comparable only within "
+                  "a fold; pooling mixes K model scales — compare against "
+                  "the per-fold mean +/- std above")
             print(f"wrote {oof_out}")
 
     # Fold-ensemble deployment: when the base config pins a test split that

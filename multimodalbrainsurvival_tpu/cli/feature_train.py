@@ -17,6 +17,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    observability_kwargs,
     run_train,
     tune_optimizer,
 )
@@ -67,6 +68,7 @@ def main(argv=None):
         pre_training_eval=config.reference_parity,
         running_loss_weight="events" if config.reference_parity else "samples",
         **early_stop_kwargs(config),
+        **observability_kwargs(config, save_dir),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

@@ -24,6 +24,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    observability_kwargs,
     quantize_trunk_training,
     run_train,
     tune_optimizer,
@@ -180,6 +181,7 @@ def main(argv=None):
         # (2_HistoPath_train.py:378 `and epoch > 0`)
         best_from_epoch=1,
         **early_stop_kwargs(config),
+        **observability_kwargs(config, save_dir),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

@@ -22,6 +22,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    observability_kwargs,
     quantize_trunk_training,
     run_train,
     tune_optimizer,
@@ -157,6 +158,7 @@ def main(argv=None):
         accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=device_put_fn,
         **early_stop_kwargs(config),
+        **observability_kwargs(config, save_dir),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

@@ -20,6 +20,7 @@ from multimodalbrainsurvival_tpu.cli._common import (
     make_parser,
     make_writer,
     maybe_restore,
+    observability_kwargs,
     run_train,
     tune_optimizer,
 )
@@ -87,6 +88,7 @@ def main(argv=None):
         # event count (1_GeneExpress_train.py:166-171); logging only
         running_loss_weight="events" if config.reference_parity else "samples",
         **early_stop_kwargs(config),
+        **observability_kwargs(config, save_dir),
     )
     writer = make_writer(args.log, summary_path, flag, config)
 

@@ -161,7 +161,13 @@ def _check_patches(df: pd.DataFrame, split: str, data_path: str,
             continue
         usable = min(n, max_total)
         packed = os.path.join(d, "patches.npy")
-        if os.path.isfile(packed):
+        # mirror the loader's branch exactly (data/patches.py:108): a stale
+        # shard (mtime older than loc.txt) is IGNORED by the loader, which
+        # falls back to PNGs — so validate the PNGs in that case, not the
+        # shard, or a stale shard with missing PNGs would pass here yet
+        # crash the loader mid-job.
+        if os.path.isfile(packed) and os.path.getmtime(
+                packed) >= os.path.getmtime(loc):
             try:
                 n_packed = len(np.load(packed, mmap_mode="r"))
             except Exception as e:  # corrupt shard

@@ -41,6 +41,9 @@ KNOWN_KEYS = {
     "lr_step_gamma", "grad_clip_norm", "early_stop_patience",
     "early_stop_min_delta",
     "export_path", "export_kind",
+    # observability / debugging (train/loop.TrainSettings knobs, wired
+    # through every train CLI via cli/_common.observability_kwargs)
+    "profile_steps", "profile_dir", "debug_checkify", "donate_state",
     # streaming slide→features serving (cli/slide_extractfeatures.py)
     "slide_csv_path", "slide_path", "slides", "max_patches_per_slide",
     "dezoom_factor", "background_threshold", "save_patch_features",

@@ -623,6 +623,13 @@ def train_model(
     running_loss, seen = 0.0, 0.0
     # logged-loss accumulators of a mid-epoch-resumed epoch (consumed once)
     resume_running_loss = resume_seen = 0.0
+    # jax.profiler trace capture (profile_steps > 0): starts after a short
+    # compile/warmup window (or immediately on a resumed run, which is
+    # already warm), stops after profile_steps steps — or at the end of
+    # training if the run is shorter, so a started trace always commits
+    trace_active = trace_done = False
+    profile_warmup = 5
+    trace_stop_at = 0
     pending_losses: list = []
 
     def _full_state():
@@ -873,6 +880,18 @@ def train_model(
     es_best = np.inf
     es_stale = 0
 
+    if settings.profile_steps:
+        # the 5-step compile/warmup window shrinks when the whole run is
+        # shorter than warmup + profile_steps, so tiny (test/--quick) runs
+        # still capture a trace; step is GLOBAL, so a resumed run (step
+        # already past warmup) starts tracing immediately — it is warm
+        try:
+            per_epoch = -(-len(datasets["train"]) // settings.batch_size)
+            total = step + per_epoch * (settings.num_epochs - start_epoch)
+            profile_warmup = max(step, min(5, total - settings.profile_steps))
+        except TypeError:
+            pass  # unsized dataset: keep the default warmup
+
     try:
         for epoch in range(start_epoch, settings.num_epochs):
             # a SIGTERM that landed during the previous epoch's eval (or
@@ -933,14 +952,22 @@ def train_model(
                 else:
                     w = float(mask_np.sum())
 
-                if settings.profile_steps and step == 5:
+                if (
+                    settings.profile_steps
+                    and not trace_done
+                    and not trace_active
+                    and step >= profile_warmup
+                ):
                     jax.profiler.start_trace(settings.profile_dir)
+                    trace_active = True
+                    trace_stop_at = step + settings.profile_steps
                 params, new_stats, opt_state, loss, rng = run_step(
                     params, batch_stats, opt_state, arrays, rng
                 )
-                if settings.profile_steps and step == 5 + settings.profile_steps:
+                if trace_active and step + 1 >= trace_stop_at:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
+                    trace_active, trace_done = False, True
                     print(f"wrote profiler trace to {settings.profile_dir}")
                 step += 1
                 epoch_step += 1
@@ -1032,6 +1059,10 @@ def train_model(
                 )
                 break
     finally:
+        if trace_active:
+            jax.profiler.stop_trace()
+            trace_active, trace_done = False, True
+            print(f"wrote profiler trace to {settings.profile_dir}")
         if handler_installed:
             # signal.signal() returns None for handlers installed by
             # non-Python code; restoring None raises, so fall back to SIG_DFL

@@ -9,7 +9,11 @@ import-time errors in rarely-driven CLI modules.
 
 import importlib
 import os
-import tomllib
+
+try:
+    import tomllib  # Python >= 3.11
+except ImportError:  # pragma: no cover — 3.10 fallback (pyproject >=3.10)
+    import tomli as tomllib  # type: ignore[no-redef]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -175,6 +175,39 @@ def test_packed_shard_shorter_than_loc_is_an_error(tmp_path, capsys):
     assert "patches.npy holds 2 patches but loc.txt promises 4" in out
 
 
+def test_stale_packed_shard_falls_back_to_png_check(tmp_path, capsys):
+    """Advisor (round 4): a patches.npy OLDER than loc.txt is IGNORED by the
+    loader (data/patches.py:108 falls back to PNGs) — the validator must
+    check the PNGs in that case, or a stale shard with missing PNGs passes
+    validation yet crashes the loader mid-job."""
+    root = tmp_path / "patches"
+    wsis = {"train": [f"TW{i}" for i in range(6)],
+            "val": [f"VW{i}" for i in range(4)],
+            "test": [f"EW{i}" for i in range(4)]}
+    for split, names in wsis.items():
+        for i, w in enumerate(names):
+            make_patch_dir(str(root), w, 4, img_size=16, seed=i)
+    _three_splits(tmp_path, wsis=wsis)
+    cfgp = _cfg(tmp_path, data_path=str(root))
+
+    # a FULL-LENGTH shard that is stale (mtime < loc.txt) + a missing PNG:
+    # the loader will use the PNGs and crash on the missing one
+    shard = root / "TW0" / "patches.npy"
+    np.save(shard, np.zeros((4, 16, 16, 3), dtype=np.uint8))
+    loc = root / "TW0" / "loc.txt"
+    os.utime(shard, (os.path.getmtime(loc) - 100,) * 2)
+    os.remove(root / "TW0" / "TW0_patch_3.png")
+    rc = validate_data.main(["--config", cfgp, "--task", "histo"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "TW0_patch_3.png is missing" in out
+
+    # freshen the shard: the loader now uses it, so the missing PNG is fine
+    os.utime(shard, None)
+    rc = validate_data.main(["--config", cfgp, "--task", "histo"])
+    assert rc == 0, capsys.readouterr().out
+
+
 def test_missing_split_file_and_unset_key(tmp_path, capsys):
     _three_splits(tmp_path, n_feature=4)
     os.remove(tmp_path / "test.csv")

@@ -256,6 +256,7 @@ def _import_ref_module(tmp_path, path: str, name: str):
 # --- RNA pipeline -----------------------------------------------------------
 
 
+@pytest.mark.golden
 def test_rna_pipeline_golden_run_matches_reference(tmp_path, capsys):
     torch = pytest.importorskip("torch")
     import jax
@@ -389,7 +390,8 @@ def test_rna_pipeline_golden_run_matches_reference(tmp_path, capsys):
 # --- EarlyFusion pipeline ---------------------------------------------------
 
 
-def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
+def _run_earlyfusion_golden(tmp_path, capsys, *, num_epochs: int,
+                            n_train: int):
     torch = pytest.importorskip("torch")
     import jax
 
@@ -403,7 +405,8 @@ def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
     import torch.nn as nn
 
     frames = {}
-    for split, n, seed in (("train", 16, 1), ("val", 8, 2), ("test", 8, 3)):
+    for split, n, seed in (("train", n_train, 1), ("val", 8, 2),
+                           ("test", 8, 3)):
         frames[split] = make_survival_csv(
             str(tmp_path / f"feat_{split}.csv"),
             [f"{split}{i}" for i in range(n)], n_feature=4096, seed=seed,
@@ -419,7 +422,7 @@ def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
     torch.save(ref_model.state_dict(), str(init_pt))
 
     common = {
-        "batch_size": 16, "num_epochs": 3, "num_workers": 0,
+        "batch_size": n_train, "num_epochs": num_epochs, "num_workers": 0,
         "use_cuda": False, "weight_decay": 1e-4, "lr": 1e-3,
         "train_csv_path": str(tmp_path / "feat_train.csv"),
         "val_csv_path": str(tmp_path / "feat_val.csv"),
@@ -455,12 +458,13 @@ def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
 
     ref_losses = _epoch_losses(ref_out, "TRAIN")
     our_losses = _epoch_losses(our_out, "EPOCH")
-    assert len(ref_losses) == 3
+    assert len(ref_losses) == num_epochs
     np.testing.assert_allclose(our_losses, ref_losses, atol=2e-3)
 
-    # epoch(-1) pre-training eval (2_EarlyFusion_train.py:311-312) + 3
-    # epochs x (train, val): 8 in-training CI lines on both sides
-    assert _ci_lines(our_out, 8) == _ci_lines(ref_out, 8)
+    # epoch(-1) pre-training eval (2_EarlyFusion_train.py:311-312) +
+    # num_epochs x (train, val) in-training CI lines on both sides
+    assert _ci_lines(our_out, 2 * (num_epochs + 1)) == _ci_lines(
+        ref_out, 2 * (num_epochs + 1))
     assert _best_epoch(our_out) == _best_epoch(ref_out)
 
     ours_ck = Checkpointer()
@@ -502,9 +506,24 @@ def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
         )
 
 
+@pytest.mark.golden
+def test_earlyfusion_pipeline_golden_run_matches_reference(tmp_path, capsys):
+    _run_earlyfusion_golden(tmp_path, capsys, num_epochs=3, n_train=16)
+
+
+def test_earlyfusion_quick_golden_run_matches_reference(tmp_path, capsys):
+    """Reduced cross-stack run that stays in the DEFAULT suite tier
+    (round-4 verdict Next #8): 1 epoch, half cohort — still executes the
+    reference's own driver end-to-end as an oracle and compares the loss
+    trace, CI lines, best epoch, final weights, and score frames, at ~1/4
+    the wall-clock of the full @golden variant."""
+    _run_earlyfusion_golden(tmp_path, capsys, num_epochs=1, n_train=8)
+
+
 # --- HistoPathology (flagship) pipeline -------------------------------------
 
 
+@pytest.mark.golden
 @pytest.mark.parametrize(
     "task,num_classes,lr,strict_stats",
     # the Cox variant is the TIGHT biased-vs-unbiased running-variance
@@ -708,6 +727,7 @@ def test_histo_pipeline_golden_run_matches_reference(
 # --- JointFusion pipeline ---------------------------------------------------
 
 
+@pytest.mark.golden
 def test_joint_pipeline_golden_run_matches_reference(tmp_path, capsys):
     """The end-to-end bimodal driver (`1_JointFusion_train.py`) as the
     oracle: patch bags through ResNet-50 ⊕ 12,778-gene RNA MLP → fusion

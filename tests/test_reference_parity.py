@@ -250,3 +250,50 @@ def test_nll_surv_matches_reference_implementation():
 
     got = float(nll_surv_loss(jnp.array(h), jnp.array(y), jnp.array(c)))
     assert np.isclose(got, want, rtol=1e-5)
+
+
+def _import_ref_driver(modname, path):
+    """Import a reference DRIVER module (2_HistoPath_train.py style): its
+    module scope additionally pulls torchvision.utils/datasets, lifelines,
+    matplotlib and tensorboardX, and builds (but does not parse) an argparse
+    parser. Extends the _import_ref stubs accordingly."""
+    tv = _stub("torchvision", models=None, transforms=None)
+    tv.__version__ = "0.0-stub"  # the driver prints it at import (:49)
+    tv.utils = _stub("torchvision.utils")
+    tv.datasets = _stub("torchvision.datasets")
+    lif = _stub("lifelines")
+    lif.utils = _stub("lifelines.utils", concordance_index=None)
+    return _import_ref(modname, path)
+
+
+def test_classification_scores_match_reference_function_oracle():
+    """The reference's get_classification_scores executed AS THE ORACLE
+    (2_HistoPath_train.py:150-182; its train loop for this task crashes on
+    an undefined name at :324, but the metric function imports fine) vs
+    ops/metrics.classification_scores, binary and multiclass, with per-id
+    duplicate rows so the dict-accumulate-then-mean path is exercised."""
+    driver = _import_ref_driver("2_HistoPath_train", REF_HISTO)
+    from multimodalbrainsurvival_tpu.ops.metrics import classification_scores
+
+    rng = np.random.default_rng(11)
+    for n_class in (2, 4):
+        ids = [f"case{j:02d}" for j in rng.integers(0, 12, 40)]
+        logits = rng.normal(size=(40, n_class)).astype(np.float32)
+        label_of = {u: int(l) for u, l in zip(
+            sorted(set(ids)), rng.integers(0, n_class, 12))}
+        labels = np.array([label_of[i] for i in ids])
+
+        want_acc, want_f1, want_auc, want_frame = (
+            driver.get_classification_scores(logits, ids, labels))
+        got_acc, got_f1, got_auc, got_frame = classification_scores(
+            logits, ids, labels)
+
+        assert np.isclose(got_acc, want_acc)
+        assert np.isclose(got_f1, want_f1)
+        assert np.isclose(got_auc, want_auc)
+        assert list(got_frame.columns) == list(want_frame.columns)
+        assert list(got_frame["id"]) == list(want_frame["id"])
+        np.testing.assert_array_equal(got_frame["label"], want_frame["label"])
+        for c in range(n_class):
+            np.testing.assert_allclose(got_frame[f"score_{c}"],
+                                       want_frame[f"score_{c}"], rtol=1e-6)

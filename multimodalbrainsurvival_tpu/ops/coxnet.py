@@ -34,12 +34,24 @@ from multimodalbrainsurvival_tpu.ops.cox import logcumsumexp
 
 
 def _npll(beta, X, times, events):
-    """Breslow negative log partial likelihood, mean over events."""
+    """Breslow negative log partial likelihood, mean over events.
+
+    TRUE Breslow risk sets under ties: every sample with ``t_j >= t_i`` is
+    in event i's denominator, INCLUDING samples tied at exactly ``t_i``.
+    After the descending-time sort the inclusive ``logcumsumexp`` at
+    position k only covers positions ``<= k``, so tied samples sorted
+    later would be dropped — each position therefore reads the scan value
+    at the LAST index of its tie group (glmnet and ``ops/survival.cox_ph``
+    both use the full tied risk set; ``2_LateFusion.R:27-48``)."""
     eta = X @ beta
     order = jnp.argsort(-times, stable=True)
     eta = eta[order]
     d = events[order]
-    log_risk = logcumsumexp(eta)
+    t_desc = times[order]
+    scan = logcumsumexp(eta)
+    # last index of each tie group in the descending sort (ascending in -t)
+    last = jnp.searchsorted(-t_desc, -t_desc, side="right") - 1
+    log_risk = scan[last]
     ll = (eta - log_risk) * d
     return -jnp.sum(ll) / jnp.maximum(jnp.sum(d), 1.0)
 

@@ -110,6 +110,15 @@ class TrainSettings:
     # test/debug hook: behave as if SIGTERM arrived once the global step
     # counter reaches this value (0 = disabled)
     preempt_after_steps: int = 0
+    # Multi-host preemption barrier: a SIGTERM usually reaches ONE host, but
+    # the emergency save is a blocking collective — so between steps every
+    # process all-gathers a 1-byte "preempt requested" flag and ALL enter
+    # the save together at the same aligned step boundary (or none do).
+    # preempt_sync_every = k runs the consensus at every k-th aligned
+    # check site (k=1: every site; raise on slow DCN if the ~per-step
+    # 1-byte all-gather ever shows up in profiles — the preemption grace
+    # period must then cover k extra steps).
+    preempt_sync_every: int = 1
     # Printed-trace parity knobs:
     # - pre_training_eval: EarlyFusion evaluates train+val once before the
     #   first epoch, logged as epoch -1 (2_EarlyFusion_train.py:311-312).
@@ -816,25 +825,22 @@ def train_model(
     preempt_flag = threading.Event()
     prev_handler = None
     handler_installed = False
-    if (
+    # Coordinated multi-host preemption (round-4 verdict Next #2): the
+    # emergency save is a blocking COLLECTIVE over jax.distributed, and a
+    # SIGTERM usually reaches ONE host — entering the save alone would
+    # deadlock against the peers' train-step collectives. Every process
+    # therefore all-gathers its local "preempt requested" flag at the
+    # ALIGNED between-step check sites (identical call sequence on every
+    # host — same datasets, same steps) and they all enter the collective
+    # save at the same site, or none do. The consensus itself is a 1-byte
+    # process_allgather, safe at any aligned site by construction.
+    preempt_consensus = (
         ckpt is not None
         and settings.emergency_checkpoint
         and jax.process_count() > 1
-    ):
-        # Signal-driven preemption is SINGLE-HOST machinery: the emergency
-        # save is a blocking COLLECTIVE over jax.distributed, and a SIGTERM
-        # that reaches only one host (or reaches hosts at skewed step
-        # boundaries) would have that host waiting on the checkpoint
-        # barrier while its peers wait on the next train step's collectives
-        # — a mutual deadlock until SIGKILL. Multi-host runs rely on the
-        # per-epoch boundary checkpoints (collective, symmetric) for
-        # resume; the deterministic preempt_after_steps test hook remains
-        # active because every process triggers it at the same step.
-        print(
-            "multi-host run: signal-driven emergency checkpointing disabled "
-            "(per-epoch boundary checkpoints provide resume)"
-        )
-    elif ckpt is not None and settings.emergency_checkpoint:
+    )
+    consensus_sites = 0
+    if ckpt is not None and settings.emergency_checkpoint:
         def _on_preempt_signal(signum, frame):
             preempt_flag.set()
             print(
@@ -847,20 +853,49 @@ def train_model(
             handler_installed = True
         except ValueError:
             pass  # not the main thread: signal-driven preemption unavailable
+        if preempt_consensus and handler_installed:
+            print(
+                "multi-host run: coordinated preemption enabled (flag "
+                f"consensus every {settings.preempt_sync_every} step "
+                "boundaries)"
+            )
 
     def _maybe_preempt():
-        """Between steps: if a preemption was requested, commit a blocking
-        emergency checkpoint (mid-epoch position included) and abort."""
-        nonlocal running_loss, seen
+        """Between steps: if a preemption was requested (by consensus on a
+        multi-host runtime), commit a blocking emergency checkpoint
+        (mid-epoch position included) and abort."""
+        nonlocal running_loss, seen, consensus_sites
         if ckpt is None:
             return
-        if not (
-            preempt_flag.is_set()
-            or (
-                settings.preempt_after_steps
-                and step >= settings.preempt_after_steps
+        want = preempt_flag.is_set() or bool(
+            settings.preempt_after_steps
+            and step >= settings.preempt_after_steps
+        )
+        if preempt_consensus and handler_installed:
+            # the collective consensus must run on EVERY process whether or
+            # not it locally wants to stop — a host that skipped it while a
+            # peer joined would desynchronize the runtime
+            consensus_sites += 1
+            if consensus_sites % max(settings.preempt_sync_every, 1):
+                return
+            from jax.experimental import multihost_utils
+
+            agreed = bool(
+                np.asarray(
+                    multihost_utils.process_allgather(
+                        np.asarray([want], dtype=np.int32)
+                    )
+                ).any()
             )
-        ):
+            if not agreed:
+                return
+            if not want:
+                print(
+                    "peer host requested preemption: joining the collective "
+                    "emergency checkpoint",
+                    flush=True,
+                )
+        elif not want:
             return
         running_loss, seen = _drain_losses(
             pending_losses, running_loss, seen, settings, state_epoch

@@ -221,6 +221,103 @@ def checkpoint_phase(mesh, process_id: int, data_dir: str) -> None:
     )
 
 
+class _SigtermAtBatch:
+    """Dataset wrapper that delivers a REAL ``SIGTERM`` to THIS process,
+    once, right before yielding batch ``fire_batch`` of epoch ``fire_epoch``
+    (epochs counted by ``batches()`` invocations) — the deterministic stand-in
+    for a scheduler preempting ONE host of a pod mid-epoch."""
+
+    def __init__(self, inner, fire: bool, fire_epoch: int, fire_batch: int):
+        self._inner = inner
+        self._fire = fire
+        self._fire_epoch = fire_epoch
+        self._fire_batch = fire_batch
+        self._epoch = -1
+        self._fired = False
+
+    def __len__(self):
+        return len(self._inner)
+
+    def batches(self, *args, **kwargs):
+        # the TRAIN loop passes shuffle=True once per epoch; the init
+        # probe does not — only count real epochs
+        is_epoch = bool(kwargs.get("shuffle"))
+        if is_epoch:
+            self._epoch += 1
+        for i, batch in enumerate(self._inner.batches(*args, **kwargs)):
+            if (
+                is_epoch
+                and self._fire
+                and not self._fired
+                and self._epoch == self._fire_epoch
+                and i == self._fire_batch
+            ):
+                self._fired = True
+                import signal
+
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch
+
+
+def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
+    """Coordinated multi-host preemption (round-4 verdict Next #2): SIGTERM
+    reaches ONLY process 0, mid-epoch. The preemption-flag consensus
+    (train/loop.py) must bring BOTH processes into the collective emergency
+    save at the same step boundary — then a resume=True rerun continues
+    bit-exactly. The pytest harness compares the resumed final params
+    against an uninterrupted single-process control."""
+    import optax
+
+    from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
+    from multimodalbrainsurvival_tpu.parallel import batch_device_put
+    from multimodalbrainsurvival_tpu.parallel.mesh import global_to_host
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainingPreempted, TrainSettings, train_model,
+    )
+
+    ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
+    save_dir = os.path.join(data_dir, "mh_preempt_ckpt")
+
+    def settings(resume):
+        return TrainSettings(
+            num_epochs=3, task="survival_prediction", batch_size=8,
+            log_interval=100, seed=5, eval_splits_during_training=("val",),
+            device_put_fn=batch_device_put(mesh), save_dir=save_dir,
+            resume=resume,
+        )
+
+    # 16 rows / batch 8 = 2 steps per epoch; process 0 is SIGTERMed right
+    # before batch 1 of epoch 1 — a mid-epoch signal on one host only
+    adapter, _, _ = build_train_fixture()
+    wrapped = _SigtermAtBatch(
+        ds, fire=(process_id == 0), fire_epoch=1, fire_batch=1
+    )
+    try:
+        train_model(adapter, {"train": wrapped, "val": ds}, optax.sgd(1e-2),
+                    settings(False), rng=jax.random.PRNGKey(2))
+        raise AssertionError("expected TrainingPreempted")
+    except TrainingPreempted as e:
+        print(
+            f"MULTIHOST-PREEMPT-STOP pid={process_id} "
+            f"epoch={e.epoch} batch={e.epoch_step}",
+            flush=True,
+        )
+
+    adapter, _, _ = build_train_fixture()
+    last, _, _ = train_model(adapter, {"train": ds, "val": ds},
+                             optax.sgd(1e-2), settings(True),
+                             rng=jax.random.PRNGKey(2))
+    flat = np.concatenate(
+        [global_to_host(leaf).ravel()
+         for leaf in jax.tree.leaves(last["params"])]
+    ).astype(np.float32)
+    print(
+        f"MULTIHOST-PREEMPT OK pid={process_id} "
+        f"params={flat.tobytes().hex()}",
+        flush=True,
+    )
+
+
 def main() -> None:
     process_id, num_processes, coord = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -252,6 +349,7 @@ def main() -> None:
     if len(sys.argv) > 4:
         train_loop_phase(mesh, process_id, sys.argv[4])
         checkpoint_phase(mesh, process_id, sys.argv[4])
+        preempt_phase(mesh, process_id, sys.argv[4])
 
 
 if __name__ == "__main__":

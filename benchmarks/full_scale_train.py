@@ -1,0 +1,210 @@
+"""Real-tiling-scale single-chip training proof (round-5 verdict Next #9).
+
+The reference tiles 2,000-4,000 patches per slide (`1_WSI2Patches.py:
+157-159`) but its shipped training configs cap at 100/WSI. The device-cache
+docstring (`data/device_cache.py`) argued by BUDGET MATH that whole cohorts
+at real tiling scale fit in HBM; this harness MEASURES it: a synthetic
+cohort of `--slides x --pps` patches (default 40 x 2,000 = 80,000 patches
+= 12.0 GB of 224^2 uint8 pixels) is loaded into the real
+`DeviceCachedPatchBags` HBM cache on ONE chip and the real flagship MIL
+train step (bf16 ResNet-50, Cox loss, torch-Adam, freeze ladder,
+`remat` + `accumulate_steps`) trains from it, recording bags/s,
+patches/s, and PEAK HBM from `device.memory_stats()`.
+
+Pixels are synthetic (a broadcast test pattern fills the cache rows via a
+patched `_decode_bag` — at 12 GB, PNG round-trips would measure this
+1-core host's disk, not the chip; the decode path itself is covered by
+`tests/test_device_cache.py` and the artifact benches). Everything from
+the cache rows down — the tile-aligned row gather, on-device batch
+assembly, augmentation, forward/backward, optimizer — is the production
+code path driven exactly as `train/loop.py` drives it.
+
+Usage: python benchmarks/full_scale_train.py [--slides 40] [--pps 2000]
+         [--bag 64] [--batch 16] [--accumulate 1] [--n_layers 2] [--iters 30]
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_synthetic_cohort(root: str, n_slides: int, pps: int, img: int):
+    """loc.txt-only patch dirs + a cohort CSV; pixel decode is patched."""
+    import pandas as pd
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for s in range(n_slides):
+        w = f"FS{s:03d}"
+        d = os.path.join(root, w)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "loc.txt"), "w") as loc:
+            loc.write(f"slide_id {w}\n")
+            loc.write("id x y patch_level patch_size_read patch_size_output\n")
+            for i in range(pps):
+                loc.write(f"{i} {i * img} 0 0 {img} {img}\n")
+        rows.append({
+            "case": f"case{s:03d}", "wsi_file_name": f"{w}.svs",
+            "survival_months": float(rng.uniform(1, 120)),
+            "vital_status": int(rng.integers(0, 2)),
+        })
+    csv = os.path.join(root, "cohort.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return csv
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--slides", type=int, default=40)
+    p.add_argument("--pps", type=int, default=2000,
+                   help="patches per slide (reference tiling scale: 2000)")
+    p.add_argument("--bag", type=int, default=64)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--accumulate", type=int, default=1)
+    p.add_argument("--n_layers", type=int, default=2,
+                   help="freeze-ladder trainable layers (reference default 2)")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--img", type=int, default=224)
+    p.add_argument("--cpu", action="store_true",
+                   help="force host CPU (sitecustomize would claim the TPU)")
+    a = p.parse_args(argv)
+
+    import jax
+
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from multimodalbrainsurvival_tpu.config import Config
+    from multimodalbrainsurvival_tpu.cli.histo_train import build_mil_model
+    from multimodalbrainsurvival_tpu.data import patches as patches_mod
+    from multimodalbrainsurvival_tpu.data.device_cache import (
+        DeviceCachedPatchBags,
+    )
+    from multimodalbrainsurvival_tpu.data.patches import PatchBagDataset
+    from multimodalbrainsurvival_tpu.train.adapters import MILAdapter
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, build_train_step, make_loss_fn,
+    )
+    from multimodalbrainsurvival_tpu.train.optim import (
+        build_grouped_optimizer, mil_freeze_ladder, torch_adam,
+    )
+
+    cache_gb = a.slides * a.pps * a.img * a.img * 3 / 2**30
+    print(f"cohort: {a.slides} slides x {a.pps} patches = "
+          f"{a.slides * a.pps} patches, {cache_gb:.1f} GiB cache")
+
+    root = tempfile.mkdtemp(prefix="fullscale_")
+    csv = make_synthetic_cohort(root, a.slides, a.pps, a.img)
+
+    # synthetic pixels: fill rows with a broadcast test pattern instead of
+    # decoding PNGs (content does not affect gather/step speed)
+    tile = (np.arange(a.img * a.img * 3, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(a.img, a.img, 3)
+
+    def _fill(items, out, img_size, use_native):
+        out[:] = tile[None]
+
+    patches_mod._decode_bag = _fill
+
+    t0 = time.perf_counter()
+    base = PatchBagDataset(
+        csv_path=csv, patch_data_path=root, img_size=a.img,
+        bag_size=a.bag, max_patches_total=a.pps,
+    )
+    ds = DeviceCachedPatchBags(base)
+    jax.block_until_ready(ds._cache)
+    t_load = time.perf_counter() - t0
+    print(f"cache build + upload: {t_load:.1f} s "
+          f"({cache_gb / t_load:.2f} GiB/s)")
+
+    dev = jax.local_devices()[0]
+    stats = dev.memory_stats() or {}
+    print(f"HBM after cache: {stats.get('bytes_in_use', 0) / 2**30:.2f} GiB "
+          f"in use of {stats.get('bytes_limit', 0) / 2**30:.2f} GiB")
+
+    cfg = Config({
+        "model_name": "resnet50", "compute_dtype": "bfloat16",
+        "remat": not a.no_remat, "aggregator": "identity",
+        "aggregator_hdim": 2048, "num_classes": 1,
+        "n_layers_to_train": a.n_layers,
+    })
+    model = build_mil_model(cfg)
+    adapter = MILAdapter(model=model, augment=True)
+    probe = next(ds.batches(a.batch))
+    variables = adapter.init(
+        jax.random.PRNGKey(0),
+        {k: probe[k] for k in adapter.array_keys},
+    )
+    tx, labels = build_grouped_optimizer(
+        variables["params"],
+        [("train", mil_freeze_ladder(a.n_layers), torch_adam(5e-4, 1e-5))],
+    )
+    settings = TrainSettings(
+        task="survival_prediction", batch_size=a.batch,
+        accumulate_steps=a.accumulate, param_labels=labels,
+    )
+    loss_fn, _ = make_loss_fn(settings)
+
+    def forward_loss(params, stats_, arrays, step_rng):
+        v = {"params": params, "batch_stats": stats_}
+        out, new = adapter.apply(v, arrays, train=True, rng=step_rng)
+        return loss_fn(out, arrays, arrays[adapter.sample_mask_key]), new
+
+    step = build_train_step(settings, tx, forward_loss)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    it = ds.batches(a.batch, shuffle=True, seed=0)
+    batch = next(it)
+    arrays = {k: batch[k] for k in
+              set(adapter.array_keys) | {"survival_months", "vital_status",
+                                         adapter.sample_mask_key}
+              if k in batch}
+    params, batch_stats, opt_state, loss, rng = step(
+        params, batch_stats, opt_state, arrays, rng)
+    jax.block_until_ready(loss)  # compile + first step
+
+    n_done, t0 = 0, time.perf_counter()
+    for batch in it:
+        arrays = {k: batch[k] for k in arrays}
+        params, batch_stats, opt_state, loss, rng = step(
+            params, batch_stats, opt_state, arrays, rng)
+        n_done += 1
+        if n_done >= a.iters:
+            break
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    bags_s = n_done * a.batch / dt
+    stats = dev.memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0) / 2**30
+    print(f"train: {n_done} steps in {dt:.2f} s = "
+          f"{bags_s:.1f} bags/s ({bags_s * a.bag:.0f} patches/s), "
+          f"loss {float(loss):.4f}")
+    print(f"peak HBM: {peak:.2f} GiB")
+    print(json.dumps({
+        "metric": "full_scale_train",
+        "slides": a.slides, "patches_per_slide": a.pps,
+        "cache_gib": round(cache_gb, 2),
+        "bag": a.bag, "batch": a.batch, "accumulate": a.accumulate,
+        "n_layers_to_train": a.n_layers, "remat": not a.no_remat,
+        "bags_per_sec": round(bags_s, 2),
+        "patches_per_sec": round(bags_s * a.bag, 1),
+        "peak_hbm_gib": round(peak, 2),
+        "cache_upload_s": round(t_load, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

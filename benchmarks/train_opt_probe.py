@@ -58,6 +58,15 @@ def build(a):
 
     model = make_model()
     fbn_model = make_model(freeze_bn=True)
+    # round-5 backward probes (exact numerics): the roofline (DESIGN item
+    # 26) showed the backward is BANDWIDTH-bound (~2x forward traffic vs a
+    # 5.3 ms compute bound) — remat TRADES that traffic for cheap MXU
+    # recompute, so on a bandwidth-bound backward it can be a speed lever,
+    # not just a memory one. Selective forms remat only the fat
+    # early-stage activations.
+    remat_all_model = make_model(remat_blocks=True)
+    remat_s1_model = make_model(remat_blocks=[1])
+    remat_s12_model = make_model(remat_blocks=[1, 2])
     rng = np.random.default_rng(0)
     B, bag = a.batch, a.bag
     x = jax.device_put(
@@ -186,7 +195,46 @@ def build(a):
         "evalbn": (jax.jit(optax_step(make_loss(aug=True, train_bn=False))),
                    (variables["params"], variables["batch_stats"],
                     opt_state, key)),
+        # exact-numerics remat variants (grads bitwise-equal, pinned in
+        # tests/test_models.py): does trading saved-activation traffic for
+        # recompute win on the bandwidth-bound backward?
+        "remat_all": (jax.jit(optax_step(
+            make_loss(aug=True, train_bn=True, m=remat_all_model))),
+            (variables["params"], variables["batch_stats"], opt_state, key)),
+        "remat_s1": (jax.jit(optax_step(
+            make_loss(aug=True, train_bn=True, m=remat_s1_model))),
+            (variables["params"], variables["batch_stats"], opt_state, key)),
+        "remat_s12": (jax.jit(optax_step(
+            make_loss(aug=True, train_bn=True, m=remat_s12_model))),
+            (variables["params"], variables["batch_stats"], opt_state, key)),
     }
+
+    # XLA scheduling/fusion flag variants of the BASELINE step (exact
+    # numerics — compiler options only; round-5 verdict Next #4c)
+    base_step = optax_step(train_loss)
+    base_args = (variables["params"], variables["batch_stats"], opt_state,
+                 key)
+    for tag, opts in (
+        ("xla_vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+        ("xla_nolhs", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),
+        ("xla_fcost", {"xla_tpu_enable_experimental_fusion_cost_model":
+                       "true"}),
+    ):
+        def make_compiled(opts=opts):
+            compiled = {}
+
+            def run(*args2):
+                if "f" not in compiled:
+                    compiled["f"] = (
+                        jax.jit(base_step)
+                        .lower(*args2)
+                        .compile(compiler_options=opts)
+                    )
+                return compiled["f"](*args2)
+
+            return run
+
+        variants[tag] = (make_compiled(), base_args)
     return variants
 
 

@@ -48,7 +48,9 @@ def build_mil_model(config, fold_bn: bool = False) -> AggregationModel:
         dtype=dtype, fold_bn=fold_bn,
         # remat: true (TPU-native extension) — per-block activation
         # checkpointing so full-slide bags fine-tune deep stacks in HBM
-        remat_blocks=bool(config.get("remat", False)),
+        # bool = all stages; a list of 1-based stage numbers ([1, 2])
+        # remats only those stages (models/resnet.py remat_blocks)
+        remat_blocks=config.get("remat", False),
         # freeze_bn: true (TPU-native extension) — FrozenBatchNorm
         # fine-tuning: running-stat normalization in train mode, ~1.2x
         # full-fine-tune step speedup (docs/DESIGN.md item 26)

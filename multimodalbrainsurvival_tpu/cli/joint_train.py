@@ -48,7 +48,9 @@ def build_joint_model(config, fold_bn: bool = False) -> BagHistopathologyRNAMode
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     resnet = RESNET_CONSTRUCTORS[config.model_name](
         dtype=dtype, fold_bn=fold_bn,
-        remat_blocks=bool(config.get("remat", False)),
+        # bool = all stages; a list of 1-based stage numbers ([1, 2])
+        # remats only those stages (models/resnet.py remat_blocks)
+        remat_blocks=config.get("remat", False),
         # freeze_bn: true (TPU-native extension) — FrozenBatchNorm
         # fine-tuning: running-stat normalization in train mode, ~1.2x
         # full-fine-tune step speedup (docs/DESIGN.md item 26)

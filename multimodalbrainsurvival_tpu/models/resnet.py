@@ -298,7 +298,13 @@ class ResNet(nn.Module):
     # (thousands of patches/WSI, SURVEY §2.2's CP analog) fine-tune deep
     # stacks within one chip's HBM. Param tree and numerics are unchanged
     # (tests/test_models.py pins grads + batch_stats equality).
-    remat_blocks: bool = False
+    # SELECTIVE form: a sequence of 1-based stage numbers (e.g. (1, 2))
+    # remats only those stages — the early stages hold the fat
+    # (56²/28²-resolution) activations, so rematting just them buys most
+    # of the memory (and, on a bandwidth-bound backward, most of the
+    # traffic cut) at a fraction of the recompute (config key
+    # `remat: [1, 2]`).
+    remat_blocks: Any = False
     # freeze_bn=True: FrozenBatchNorm fine-tuning (opt-in, TPU-native
     # extension): BN normalizes with the restored RUNNING stats even during
     # training; gamma/beta still receive gradients, the stats never update.
@@ -329,11 +335,15 @@ class ResNet(nn.Module):
             )
         )
         # args of block.__call__ are (self, x, train); train is static
-        block_cls = (
-            nn.remat(self.block_cls, static_argnums=(2,))
-            if self.remat_blocks else self.block_cls
+        rb = self.remat_blocks
+        remat_stages = (
+            set(range(1, len(self.stage_sizes) + 1)) if rb is True
+            else set() if not rb
+            else {int(s) for s in rb}
         )
+        remat_cls = nn.remat(self.block_cls, static_argnums=(2,))
         for i, n_blocks in enumerate(self.stage_sizes):
+            block_cls = remat_cls if (i + 1) in remat_stages else self.block_cls
             blocks = []
             for j in range(n_blocks):
                 strides = 2 if (i > 0 and j == 0) else 1

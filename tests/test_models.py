@@ -342,6 +342,41 @@ def test_remat_blocks_is_numerically_identical():
     )
 
 
+def test_selective_stage_remat_is_numerically_identical():
+    """remat_blocks=[1, 2] (selective per-stage checkpointing, the
+    backward-traffic lever for the fat early-stage activations) must be
+    numerically identical to the plain model, like full remat."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    plain = resnet18()
+    remat = resnet18(remat_blocks=[1, 2])
+    v = plain.init(jax.random.PRNGKey(4), x, train=False)
+    assert (
+        jax.tree_util.tree_structure(v)
+        == jax.tree_util.tree_structure(
+            remat.init(jax.random.PRNGKey(4), x, train=False)
+        )
+    )
+
+    def loss_fn(model, params):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2), upd["batch_stats"]
+
+    (l0, bs0), g0 = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(plain, p), has_aux=True)
+    )(v["params"])
+    (l1, bs1), g1 = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(remat, p), has_aux=True)
+    )(v["params"])
+    assert float(l0) == float(l1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (g0, bs0), (g1, bs1),
+    )
+
+
 def test_batchnorm_near_constant_channel_is_nan_free():
     """E[x2]-E[x]2 rounds below zero for a near-constant channel with a
     large mean; the train-mode variance clamp keeps rsqrt finite (torch can

@@ -182,15 +182,33 @@ def _qconv_q(x_q, s_in, cp, s_out, *, stride=1, padding="SAME", relu=True):
     (``relu=False``) at THEIR OWN calibrated pre-activation range
     (``.t`` / ``.skip`` sites — branch magnitudes routinely exceed the
     post-relu output amax, so they need their own scales, not the output's).
+
+    Round-5 refinements (DESIGN item 30, measured on v5e-1 in-program):
+
+    - stride-1 1×1 convs run as a reshape + int8 ``dot_general`` — XLA's
+      dot emitter beats its conv emitter on the same s8×s8→s32 problem
+      (+3-4% whole-program; the reshape is layout-free in NHWC);
+    - the epilogue multiplies by the PRE-COMBINED per-channel scale
+      ``s_in·ws/s_out`` and relu's after scaling (``relu(y)/s == max(y/s,0)``
+      for ``s>0``), saving one full-tensor op (+2-3%).
     """
-    y32 = lax.conv_general_dilated(
-        x_q, cp["k"], (stride, stride), padding, dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
-    )
-    y = y32.astype(jnp.float32) * (s_in * cp["ws"]) + cp["b"]
+    k = cp["k"]
+    kh, kw, kin, kout = k.shape
+    if kh == 1 and kw == 1 and stride == 1:
+        b, h, w, _ = x_q.shape
+        y32 = lax.dot_general(
+            x_q.reshape(b * h * w, kin), k.reshape(kin, kout),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        ).reshape(b, h, w, kout)
+    else:
+        y32 = lax.conv_general_dilated(
+            x_q, k, (stride, stride), padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+    y = y32.astype(jnp.float32) * ((s_in * cp["ws"]) / s_out) + cp["b"] / s_out
     if relu:
-        y = jax.nn.relu(y)
-    return _requant(y, s_out)
+        y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
 
 
 def _residual_relu_q(t_q, s_t, r_q, s_r, s_out):
@@ -209,15 +227,22 @@ def _quantized_stages(qtree: dict, x, *, stages: int, arch: str = "resnet50"):
     (all stages + pool) and ``quantized_trunk`` (frozen-prefix training)."""
     basic = arch in BASIC_ARCHS
     s = qtree["scales"]
-    # the stem stays the plain 7×7/2 int8 conv: an exactly-equivalent
-    # space-to-depth rewrite (bitwise-equal int32 sums, 2.9× faster
-    # ISOLATED) measured NEUTRAL at batch 512 and 14% SLOWER at 1024
-    # in-program — the pixel shuffle materializes a full-resolution int8
-    # tensor and breaks the preprocess→stem fusion (DESIGN item 21; the
-    # bf16 twin of this negative result is item 5)
-    y_q = _requant(x.astype(jnp.float32), s["in"])
-    y_q = _qconv_q(y_q, s["in"], qtree["conv1"], s["stem"], stride=2,
-                   padding=((3, 3), (3, 3)))
+    # The stem runs in bf16 (round 5, DESIGN item 30): its K=3 input
+    # channels pack 3/32 of an int8 MXU sublane tile, making the int8 stem
+    # the single slowest conv in the program (~3.0 of 28.6 ms at batch 512,
+    # ~5× its bandwidth bound); bf16 (16-packing) with the int8 kernel
+    # dequantized once is ~1 ms faster in-program AND skips quantizing the
+    # full-resolution input (the ``in`` site stays calibrated for
+    # compatibility, unused here). Epilogue requants to the stem site, so
+    # everything downstream is unchanged int8. An exactly-equivalent
+    # space-to-depth int8 rewrite measured SLOWER in-program (item 21).
+    cp = qtree["conv1"]
+    kb = (cp["k"].astype(jnp.float32) * cp["ws"]).astype(jnp.bfloat16)
+    y = lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), kb, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    )
+    y_q = _requant(jnp.maximum(y + cp["b"], 0.0), s["stem"])
     # max-pool in the int8 domain (requant is monotone → commutes with max)
     y_q = lax.reduce_window(
         y_q, jnp.int8(-128), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),

@@ -172,9 +172,23 @@ def main(argv=None):
               set(adapter.array_keys) | {"survival_months", "vital_status",
                                          adapter.sample_mask_key}
               if k in batch}
+    # AOT-compile so the program's own memory_analysis is available (this
+    # platform's device.memory_stats() returns {}), then drive the compiled
+    # executable directly
+    lowered = step.lower(params, batch_stats, opt_state, arrays, rng)
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    step_gib = ((mem.temp_size_in_bytes + mem.argument_size_in_bytes)
+                / 2**30)
+    print(f"step program memory_analysis: "
+          f"temp {mem.temp_size_in_bytes / 2**30:.2f} GiB + args "
+          f"{mem.argument_size_in_bytes / 2**30:.2f} GiB; "
+          f"+ the {cache_gb:.1f} GiB resident cache "
+          f"= {step_gib + cache_gb:.1f} GiB peak accounting")
+    step = compiled
     params, batch_stats, opt_state, loss, rng = step(
         params, batch_stats, opt_state, arrays, rng)
-    jax.block_until_ready(loss)  # compile + first step
+    jax.block_until_ready(loss)  # first step
 
     n_done, t0 = 0, time.perf_counter()
     for batch in it:
@@ -189,6 +203,8 @@ def main(argv=None):
     bags_s = n_done * a.batch / dt
     stats = dev.memory_stats() or {}
     peak = stats.get("peak_bytes_in_use", 0) / 2**30
+    if not peak:  # this platform's memory_stats() is empty — use the
+        peak = step_gib + cache_gb  # program's own memory_analysis
     print(f"train: {n_done} steps in {dt:.2f} s = "
           f"{bags_s:.1f} bags/s ({bags_s * a.bag:.0f} patches/s), "
           f"loss {float(loss):.4f}")

@@ -77,6 +77,8 @@ def main(argv=None):
     p.add_argument("--img", type=int, default=224)
     p.add_argument("--cpu", action="store_true",
                    help="force host CPU (sitecustomize would claim the TPU)")
+    p.add_argument("--sync", action="store_true",
+                   help="block on every step (per-step ground truth)")
     a = p.parse_args(argv)
 
     import jax
@@ -188,17 +190,26 @@ def main(argv=None):
     step = compiled
     params, batch_stats, opt_state, loss, rng = step(
         params, batch_stats, opt_state, arrays, rng)
-    jax.block_until_ready(loss)  # first step
+    # warm step: a value FETCH, not block_until_ready — on this tunneled
+    # platform only a fetch provably waits for execution (DESIGN item 3)
+    float(loss)
 
+    # timing discipline for this remote-tunneled chip (DESIGN item 3):
+    # block_until_ready does not reliably wait here — only a value FETCH
+    # (float()) proves execution, so the loop chains steps and fetches the
+    # last loss inside the timed region
     n_done, t0 = 0, time.perf_counter()
     for batch in it:
         arrays = {k: batch[k] for k in arrays}
         params, batch_stats, opt_state, loss, rng = step(
             params, batch_stats, opt_state, arrays, rng)
+        if a.sync:
+            print(f"  step {n_done}: loss {float(loss):.4f} "
+                  f"(+{time.perf_counter() - t0:.2f}s)", flush=True)
         n_done += 1
         if n_done >= a.iters:
             break
-    jax.block_until_ready(loss)
+    loss = float(loss)
     dt = time.perf_counter() - t0
     bags_s = n_done * a.batch / dt
     stats = dev.memory_stats() or {}
@@ -207,7 +218,7 @@ def main(argv=None):
         peak = step_gib + cache_gb  # program's own memory_analysis
     print(f"train: {n_done} steps in {dt:.2f} s = "
           f"{bags_s:.1f} bags/s ({bags_s * a.bag:.0f} patches/s), "
-          f"loss {float(loss):.4f}")
+          f"loss {loss:.4f}")
     print(f"peak HBM: {peak:.2f} GiB")
     print(json.dumps({
         "metric": "full_scale_train",

@@ -31,10 +31,19 @@ owns, the partial bags are combined by ``psum``/``psum_scatter`` over ICI,
 and the batch lands already dp-sharded on its sample axis (bag mp-sharded
 too under ``shard_bag``), exactly the shardings the sharded train step
 consumes. Per-step traffic is ONE int32 ``sel`` upload; pixel bytes move
-only over ICI. At the reference's real tiling scale
-(``1_WSI2Patches.py:157-159``, 2000-4000 patches/slide → ~220 GB for the
-783-WSI cohort) a single chip's HBM cannot hold the cohort, a v5e-8's
-8×16 GB can hold ~2/3 of it (and a 2-slide mesh all of it).
+only over ICI.
+
+Real-tiling-scale capacity, MEASURED on a v5e-1 (round 5,
+``benchmarks/full_scale_train.py``): a 32-slide × 2,000-patch cohort
+(64,000 patches = 9.0 GiB — the reference's own tiling density,
+``1_WSI2Patches.py:157-159``) holds fully cached while the flagship MIL
+fine-tune (bf16 ResNet-50, freeze-2, ``remat`` + ``accumulate_steps: 4``,
+batch 16 × bag 64) trains from it at **103.7 bags/s (6,637 patches/s),
+peak 10.7 GiB** (9.0 cache + 1.7 step program). 40 × 2,000 (11.2 GiB)
+exceeds the 16 GiB chip once the step's workspace lands — the single-chip
+ceiling at this shape is ~35 slides; beyond that the mesh-sharded mode
+scales the budget by the device count (a v5e-8 holds ~280 such slides;
+the full 783-WSI cohort at 2,000 patches ≈ 220 GB wants a 16-chip mesh).
 """
 
 from __future__ import annotations

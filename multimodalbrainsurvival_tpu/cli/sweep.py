@@ -225,6 +225,11 @@ def main(argv=None):
                 run_combo(c, combos[c - 1], target, resume=r > 0)
             if r == len(rungs) - 1:
                 break
+            if all(records[c]["val_CI"] is None for c in alive):
+                raise SystemExit(
+                    "--halving needs a survival val score frame to rank "
+                    "combos between rungs (classification tasks have no "
+                    "val CI) — run the full grid instead")
             ranked_alive = sorted(
                 alive,
                 key=lambda c: (records[c]["val_CI"] is not None,

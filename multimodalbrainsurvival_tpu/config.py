@@ -35,7 +35,8 @@ KNOWN_KEYS = {
     "compute_dtype", "reference_parity", "mesh", "log_interval",
     "keep_bag_remainder", "num_devices", "resume", "fold_bn",
     "cache_patches_on_device", "cache_max_bytes_per_device",
-    "emergency_checkpoint", "compile_cache_dir", "dropout", "augment",
+    "emergency_checkpoint", "preempt_sync_every", "compile_cache_dir",
+    "dropout", "augment",
     "quantize", "quantize_trunk", "remat", "freeze_bn", "accumulate_steps",
     "lr_schedule", "warmup_steps", "lr_min_factor", "lr_step_every_epochs",
     "lr_step_gamma", "grad_clip_norm", "early_stop_patience",

@@ -83,6 +83,18 @@ def test_cli_debug_checkify_and_donate_off_run_clean(tmp_path, capsys):
     assert (tmp_path / "out/outputs/obs/val_output_best.csv").is_file()
 
 
+def test_cli_preempt_sync_every_is_a_known_key(tmp_path, capsys):
+    """`preempt_sync_every` (multi-host preemption-consensus cadence) is a
+    recognized config key wired through the train CLIs — no unknown-key
+    audit line, run completes."""
+    cfg = _write_config(tmp_path, {"preempt_sync_every": 3,
+                                   "num_epochs": 1})
+    feature_train.main(["--config", cfg])
+    out = capsys.readouterr().out
+    assert "ignoring unrecognized keys" not in out
+    assert (tmp_path / "out/outputs/obs/val_output_best.csv").is_file()
+
+
 def test_cli_debug_checkify_names_offending_op(tmp_path):
     """A NaN planted in the input data makes the checkified CLI run fail
     with checkify's op-level report, not just a bare 'loss is NaN'."""

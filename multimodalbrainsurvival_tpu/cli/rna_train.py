@@ -82,7 +82,7 @@ def main(argv=None):
         resume=bool(config.get("resume", False)),
         emergency_checkpoint=bool(config.get("emergency_checkpoint", True)),
         # multi-host preemption-consensus cadence (TrainSettings doc)
-        preempt_sync_every=int(config.get("preempt_sync_every", 1)),
+        preempt_sync_every=int(config.get("preempt_sync_every", 8)),
         # gradient accumulation (TPU-native extension; TrainSettings doc)
         accumulate_steps=int(config.get("accumulate_steps", 1)),
         device_put_fn=make_device_put(config),

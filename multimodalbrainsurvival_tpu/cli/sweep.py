@@ -193,23 +193,39 @@ def main(argv=None):
                    "epochs_trained": 0, "val_CI": None, "test_CI": None}
                for c, overrides in enumerate(combos, start=1)}
 
-    def run_combo(c: int, overrides: dict, target_epochs: int,
-                  resume: bool) -> None:
+    def run_combo(c: int, overrides: dict, target_epochs=None,
+                  resume: bool = False) -> None:
+        """Train one combo. ``target_epochs`` is only set by the halving
+        rungs; the full-grid mode leaves the combo's own overrides (which
+        may legitimately sweep ``num_epochs``) untouched."""
         flag_c = records[c]["flag"]
         raw = {k: v for k, v in dict(config.raw).items()
                if k != "sweep_grid"}
-        raw.update(overrides, flag=flag_c, num_epochs=target_epochs,
-                   resume=bool(resume))
+        raw.update(overrides, flag=flag_c)
+        if target_epochs is not None:  # halving controls the budget
+            raw.update(num_epochs=target_epochs, resume=bool(resume))
         cfg_path = os.path.join(sweep_dir, f"config_hp{c}.json")
         with open(cfg_path, "w") as fh:
             json.dump(raw, fh, indent=2)
         train_main(["--config", cfg_path] + child_args)
-        records[c]["epochs_trained"] = target_epochs
+        records[c]["epochs_trained"] = (
+            target_epochs if target_epochs is not None
+            else int(raw.get("num_epochs", num_epochs)))
         output_dir = os.path.join(checkpoint_path, "outputs", flag_c)
         records[c]["val_CI"] = _ci_of(output_dir, "val")
         records[c]["test_CI"] = _ci_of(output_dir, "test")
 
     if args.halving:
+        if "num_epochs" in grid:
+            raise SystemExit(
+                "--halving controls each combo's epoch budget itself — "
+                "sweeping num_epochs at the same time is contradictory; "
+                "drop it from the grid or run without --halving")
+        if config.get("task", "survival_prediction") == "classification":
+            raise SystemExit(
+                "--halving ranks combos by the survival val C-index, which "
+                "a classification task does not produce — run the full "
+                "grid instead")
         rungs = halving_rungs(len(combos), num_epochs, args.halving)
         print(f"successive halving (eta={args.halving}): "
               f"{len(combos)} combos, cumulative epoch targets {rungs}")
@@ -226,10 +242,15 @@ def main(argv=None):
             if r == len(rungs) - 1:
                 break
             if all(records[c]["val_CI"] is None for c in alive):
+                # backstop (the classification case is rejected up front):
+                # persist the completed rung's work before bailing
+                pd.DataFrame(list(records.values())).to_csv(
+                    os.path.join(checkpoint_path, "sweep_summary.csv"),
+                    index=False)
                 raise SystemExit(
-                    "--halving needs a survival val score frame to rank "
-                    "combos between rungs (classification tasks have no "
-                    "val CI) — run the full grid instead")
+                    "--halving: no combo produced a survival val score "
+                    "frame to rank by after rung 1 (partial results in "
+                    "sweep_summary.csv) — run the full grid instead")
             ranked_alive = sorted(
                 alive,
                 key=lambda c: (records[c]["val_CI"] is not None,
@@ -246,7 +267,7 @@ def main(argv=None):
             print(f"=== sweep {c}/{len(combos)}: "
                   + ", ".join(f"{k}={v}" for k, v in sorted(overrides.items()))
                   + f" (flag {records[c]['flag']}) ===")
-            run_combo(c, overrides, num_epochs, resume=False)
+            run_combo(c, overrides)
 
     summary = pd.DataFrame(list(records.values()))
     ranked = summary.sort_values(

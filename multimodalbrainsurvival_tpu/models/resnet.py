@@ -336,11 +336,24 @@ class ResNet(nn.Module):
         )
         # args of block.__call__ are (self, x, train); train is static
         rb = self.remat_blocks
-        remat_stages = (
-            set(range(1, len(self.stage_sizes) + 1)) if rb is True
-            else set() if not rb
-            else {int(s) for s in rb}
-        )
+        all_stages = set(range(1, len(self.stage_sizes) + 1))
+        if isinstance(rb, (bool, int)):
+            # truthy scalar (True / 1, this repo's 0/1-as-bool convention)
+            # = every stage, falsy = none
+            remat_stages = all_stages if rb else set()
+        elif isinstance(rb, str):
+            raise ValueError(
+                f"remat_blocks must be a bool or a list of stage numbers, "
+                f"got the string {rb!r} (write remat: [1, 2], not \"12\")"
+            )
+        else:
+            remat_stages = {int(s) for s in rb}
+            bad = remat_stages - all_stages
+            if bad:
+                raise ValueError(
+                    f"remat_blocks stages {sorted(bad)} out of range "
+                    f"1..{len(self.stage_sizes)}"
+                )
         remat_cls = nn.remat(self.block_cls, static_argnums=(2,))
         for i, n_blocks in enumerate(self.stage_sizes):
             block_cls = remat_cls if (i + 1) in remat_stages else self.block_cls

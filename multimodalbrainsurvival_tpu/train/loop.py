@@ -113,12 +113,17 @@ class TrainSettings:
     # Multi-host preemption barrier: a SIGTERM usually reaches ONE host, but
     # the emergency save is a blocking collective — so between steps every
     # process all-gathers a 1-byte "preempt requested" flag and ALL enter
-    # the save together at the same aligned step boundary (or none do).
-    # preempt_sync_every = k runs the consensus at every k-th aligned
-    # check site (k=1: every site; raise on slow DCN if the ~per-step
-    # 1-byte all-gather ever shows up in profiles — the preemption grace
-    # period must then cover k extra steps).
-    preempt_sync_every: int = 1
+    # the save together at the same aligned check site (or none do).
+    # preempt_sync_every = k runs the consensus at every k-th site (two
+    # sites per batch). The consensus is not just a byte on the wire: the
+    # process_allgather FETCHES a device value, which orders behind the
+    # enqueued train step and so synchronizes host dispatch with device
+    # compute — at k=1 that serializes the async-dispatch pipeline every
+    # step. The default 8 (consensus every ~4 batches) keeps the pipeline
+    # while bounding time-to-preemption at ~4 steps; schedulers' grace
+    # periods (30-120 s) cover that easily. Set 1 for site-exact stops
+    # (the deterministic tests do).
+    preempt_sync_every: int = 8
     # Printed-trace parity knobs:
     # - pre_training_eval: EarlyFusion evaluates train+val once before the
     #   first epoch, logged as epoch -1 (2_EarlyFusion_train.py:311-312).
@@ -853,11 +858,20 @@ def train_model(
             handler_installed = True
         except ValueError:
             pass  # not the main thread: signal-driven preemption unavailable
-        if preempt_consensus and handler_installed:
+        if preempt_consensus:
+            # NOTE: consensus participation must NOT depend on the local
+            # handler install (main-thread-ness can differ across hosts —
+            # a host that skipped the collective while its peers joined
+            # would deadlock the runtime); a handler-less process still
+            # all-gathers, contributing want=False
             print(
                 "multi-host run: coordinated preemption enabled (flag "
-                f"consensus every {settings.preempt_sync_every} step "
-                "boundaries)"
+                f"consensus every {settings.preempt_sync_every} check "
+                "sites"
+                + ("" if handler_installed
+                   else "; local SIGTERM handler unavailable off the main "
+                        "thread — this process joins peers' requests only")
+                + ")"
             )
 
     def _maybe_preempt():
@@ -871,7 +885,7 @@ def train_model(
             settings.preempt_after_steps
             and step >= settings.preempt_after_steps
         )
-        if preempt_consensus and handler_installed:
+        if preempt_consensus:
             # the collective consensus must run on EVERY process whether or
             # not it locally wants to stop — a host that skipped it while a
             # peer joined would desynchronize the runtime

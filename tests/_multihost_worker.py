@@ -200,6 +200,10 @@ def checkpoint_phase(mesh, process_id: int, data_dir: str) -> None:
             log_interval=100, seed=5, eval_splits_during_training=("val",),
             device_put_fn=batch_device_put(mesh), save_dir=save_dir,
             resume=resume,
+            # site-exact stop position for the deterministic assertion
+            # (the production default of 8 trades stop latency for
+            # dispatch pipelining)
+            preempt_sync_every=1,
         )
 
     adapter, _, _ = build_train_fixture()
@@ -284,6 +288,10 @@ def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
             log_interval=100, seed=5, eval_splits_during_training=("val",),
             device_put_fn=batch_device_put(mesh), save_dir=save_dir,
             resume=resume,
+            # site-exact stop position for the deterministic assertion
+            # (the production default of 8 trades stop latency for
+            # dispatch pipelining)
+            preempt_sync_every=1,
         )
 
     # 16 rows / batch 8 = 2 steps per epoch; process 0 is SIGTERMed right

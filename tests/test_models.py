@@ -377,6 +377,24 @@ def test_selective_stage_remat_is_numerically_identical():
     )
 
 
+def test_remat_blocks_scalar_and_malformed_values():
+    """Code-review regression: truthy scalars (the repo's 0/1-as-bool
+    convention, e.g. `"remat": 1`) mean full remat; strings and
+    out-of-range stage numbers fail loudly instead of silently."""
+    x = jnp.zeros((1, 32, 32, 3))
+    # 1 behaves like True (init succeeds, same tree as plain)
+    v1 = resnet18(remat_blocks=1).init(jax.random.PRNGKey(0), x, train=False)
+    v0 = resnet18().init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v0))
+    with pytest.raises(ValueError, match="string"):
+        resnet18(remat_blocks="12").init(jax.random.PRNGKey(0), x,
+                                         train=False)
+    with pytest.raises(ValueError, match="out of range"):
+        resnet18(remat_blocks=[5]).init(jax.random.PRNGKey(0), x,
+                                        train=False)
+
+
 def test_batchnorm_near_constant_channel_is_nan_free():
     """E[x2]-E[x]2 rounds below zero for a near-constant channel with a
     large mean; the train-mode variance clamp keeps rsqrt finite (torch can

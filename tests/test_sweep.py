@@ -154,6 +154,38 @@ def test_halving_returns_full_grid_winner_under_half_the_epochs(tmp_path,
     assert half_summary["val_CI"].notna().all()
 
 
+def test_sweeping_num_epochs_flows_through(tmp_path):
+    """Code-review regression: a grid over num_epochs must actually train
+    each combo with ITS value — the halving-era run_combo briefly clobbered
+    it with the base config's num_epochs, training identical models."""
+    _learnable_survival_csv(str(tmp_path / "train.csv"), 10, seed=1)
+    _learnable_survival_csv(str(tmp_path / "val.csv"), 6, seed=2)
+    _learnable_survival_csv(str(tmp_path / "test.csv"), 6, seed=3)
+    cfg = _base_cfg(tmp_path, num_epochs=1)
+    sweep.main(["--config", cfg, "--task", "feature",
+                "--grid", '{"num_epochs": [1, 2]}'])
+    for c, want in ((1, 1), (2, 2)):
+        child = json.loads(
+            (tmp_path / "out/sweep" / f"config_hp{c}.json").read_text())
+        assert child["num_epochs"] == want
+    summary = pd.read_csv(tmp_path / "out/sweep_summary.csv")
+    assert sorted(summary["epochs_trained"]) == [1, 2]
+
+
+def test_halving_rejects_num_epochs_grid_and_classification(tmp_path):
+    """--halving controls the epoch budget itself (a num_epochs grid is
+    contradictory) and needs a survival val CI to rank (classification
+    produces none) — both rejected BEFORE any training."""
+    cfg = _base_cfg(tmp_path)
+    with pytest.raises(SystemExit, match="num_epochs"):
+        sweep.main(["--config", cfg, "--task", "feature",
+                    "--grid", '{"num_epochs": [1, 2]}', "--halving", "2"])
+    cfg = _base_cfg(tmp_path, task="classification")
+    with pytest.raises(SystemExit, match="classification"):
+        sweep.main(["--config", cfg, "--task", "feature",
+                    "--grid", '{"lr": [1e-3, 1e-4]}', "--halving", "2"])
+
+
 def test_parse_grid_inline_file_and_scalars(tmp_path):
     assert sweep.parse_grid('{"lr": [1, 2], "dropout": 0.5}') == {
         "lr": [1, 2], "dropout": [0.5]}

@@ -263,13 +263,19 @@ class _SigtermAtBatch:
             yield batch
 
 
-def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
+def preempt_phase(mesh, process_id: int, data_dir: str,
+                  sync_every: int = 1, tag: str = "MULTIHOST-PREEMPT") -> None:
     """Coordinated multi-host preemption (round-4 verdict Next #2): SIGTERM
     reaches ONLY process 0, mid-epoch. The preemption-flag consensus
     (train/loop.py) must bring BOTH processes into the collective emergency
-    save at the same step boundary — then a resume=True rerun continues
+    save at the same check site — then a resume=True rerun continues
     bit-exactly. The pytest harness compares the resumed final params
-    against an uninterrupted single-process control."""
+    against an uninterrupted single-process control.
+
+    ``sync_every=1`` pins the site-exact stop position; ``sync_every>1``
+    exercises the THINNED consensus (the production default skips most
+    sites), where the stop lands at the first eligible site after the
+    signal — still identical across processes."""
     import optax
 
     from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
@@ -280,7 +286,7 @@ def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
     )
 
     ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
-    save_dir = os.path.join(data_dir, "mh_preempt_ckpt")
+    save_dir = os.path.join(data_dir, f"mh_preempt_ckpt_k{sync_every}")
 
     def settings(resume):
         return TrainSettings(
@@ -288,10 +294,7 @@ def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
             log_interval=100, seed=5, eval_splits_during_training=("val",),
             device_put_fn=batch_device_put(mesh), save_dir=save_dir,
             resume=resume,
-            # site-exact stop position for the deterministic assertion
-            # (the production default of 8 trades stop latency for
-            # dispatch pipelining)
-            preempt_sync_every=1,
+            preempt_sync_every=sync_every,
         )
 
     # 16 rows / batch 8 = 2 steps per epoch; process 0 is SIGTERMed right
@@ -306,7 +309,7 @@ def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
         raise AssertionError("expected TrainingPreempted")
     except TrainingPreempted as e:
         print(
-            f"MULTIHOST-PREEMPT-STOP pid={process_id} "
+            f"{tag}-STOP pid={process_id} "
             f"epoch={e.epoch} batch={e.epoch_step}",
             flush=True,
         )
@@ -320,7 +323,7 @@ def preempt_phase(mesh, process_id: int, data_dir: str) -> None:
          for leaf in jax.tree.leaves(last["params"])]
     ).astype(np.float32)
     print(
-        f"MULTIHOST-PREEMPT OK pid={process_id} "
+        f"{tag} OK pid={process_id} "
         f"params={flat.tobytes().hex()}",
         flush=True,
     )
@@ -358,6 +361,8 @@ def main() -> None:
         train_loop_phase(mesh, process_id, sys.argv[4])
         checkpoint_phase(mesh, process_id, sys.argv[4])
         preempt_phase(mesh, process_id, sys.argv[4])
+        preempt_phase(mesh, process_id, sys.argv[4], sync_every=3,
+                      tag="MULTIHOST-PREEMPT-K3")
 
 
 if __name__ == "__main__":

@@ -380,6 +380,54 @@ def test_two_process_coordinated_preemption(two_process_outputs):
     np.testing.assert_allclose(multihost, control, rtol=1e-5, atol=1e-6)
 
 
+def test_two_process_preemption_with_thinned_consensus(two_process_outputs):
+    """The production preempt_sync_every>1 path: with the consensus thinned
+    to every 3rd check site, the stop lands at the first ELIGIBLE site
+    after the one-host SIGTERM — later than the k=1 stop, but still at the
+    identical position on both processes, and the resume still matches the
+    uninterrupted single-process control bit-exactly."""
+    import optax
+
+    from tests._multihost_worker import build_train_fixture
+    from multimodalbrainsurvival_tpu.data.tables import FeatureTableDataset
+    from multimodalbrainsurvival_tpu.train.loop import (
+        TrainSettings, train_model,
+    )
+
+    outs, data_dir = two_process_outputs
+    stops, digests = {}, {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MULTIHOST-PREEMPT-K3-STOP"):
+                pid = int(line.split("pid=")[1].split()[0])
+                stops[pid] = (int(line.split("epoch=")[1].split()[0]),
+                              int(line.split("batch=")[1].split()[0]))
+            if line.startswith("MULTIHOST-PREEMPT-K3 OK"):
+                pid = int(line.split("pid=")[1].split()[0])
+                digests[pid] = line.split("params=")[1].strip()
+    assert set(stops) == {0, 1}, outs
+    assert stops[0] == stops[1]  # same site on both processes
+    assert stops[0] >= (1, 1)    # at or after the signal position
+    assert set(digests) == {0, 1}, outs
+    assert digests[0] == digests[1]
+    multihost = np.frombuffer(bytes.fromhex(digests[0]), np.float32)
+
+    adapter, _, _ = build_train_fixture()
+    ds = FeatureTableDataset(os.path.join(data_dir, "mh.csv"))
+    settings = TrainSettings(
+        num_epochs=3, task="survival_prediction", batch_size=8,
+        log_interval=100, seed=5, eval_splits_during_training=("val",),
+    )
+    last, _, _ = train_model(
+        adapter, {"train": ds, "val": ds}, optax.sgd(1e-2), settings,
+        rng=jax.random.PRNGKey(2),
+    )
+    control = np.concatenate(
+        [np.asarray(leaf).ravel() for leaf in jax.tree.leaves(last["params"])]
+    ).astype(np.float32)
+    np.testing.assert_allclose(multihost, control, rtol=1e-5, atol=1e-6)
+
+
 def test_weak_scaling_harness_runs_on_virtual_mesh(tmp_path):
     """benchmarks/weak_scaling.py (the ready-to-run multi-chip proof harness,
     VERDICT r2 #9) must keep working in its virtual-device validation mode:

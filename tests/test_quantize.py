@@ -119,7 +119,8 @@ def test_requant_commutes_with_int8_maxpool():
 
 
 @pytest.mark.parametrize(
-    "arch,in_ch", [("resnet18", 3), ("resnet50", 3), ("resnet50", 1)]
+    "arch,in_ch", [("resnet18", 3), ("resnet34", 3), ("resnet50", 3),
+                   ("resnet50", 1), ("resnet101", 4)]
 )
 def test_quantized_extract_tracks_float(arch, in_ch):
     """W8A8 embedding vs float embedding: per-sample cosine > 0.995 on
